@@ -1,0 +1,128 @@
+"""Error norms and pytree linear algebra for the solver cores.
+
+The reference relies on OrdinaryDiffEq's default internal norm
+``sqrt(sum(abs2, u) / length(u))`` (Hairer's scaled RMS norm) and the error
+scale ``atol .+ max.(abs.(u), abs.(u_new)) .* rtol``; the whole minibatch is
+a single ODE state so there is ONE global error norm per step (reference:
+src/models/neural_ode.jl:128-137 builds one ODEProblem over the batch).
+
+Under data parallelism each shard holds a slice of the batch; passing
+``axis_name`` makes the norm do a ``psum`` of (sum-of-squares, count) over
+the mesh axis so every shard computes the identical global norm and the PI
+controller stays in lockstep across chips — accept/reject decisions are
+globally synchronized by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+Pytree = Any
+
+
+def tree_lincomb(y: Pytree, dt, coeffs: Sequence, ks: Sequence[Pytree]) -> Pytree:
+    """Compute ``y + dt * sum_i coeffs[i] * ks[i]`` leafwise.
+
+    ``dt`` may be a traced scalar; coefficients are python floats baked into
+    the XLA program. Zero coefficients are skipped at trace time so FSAL
+    zero-weight stages cost nothing.
+    """
+    nz = [(c, k) for c, k in zip(coeffs, ks) if c != 0.0]
+    if not nz:
+        return y
+
+    def leaf(y_leaf, *k_leaves):
+        acc = nz[0][0] * k_leaves[0]
+        for (c, _), kl in zip(nz[1:], k_leaves[1:]):
+            acc = acc + c * kl
+        return y_leaf + dt * acc
+
+    return jax.tree_util.tree_map(leaf, y, *[k for _, k in nz])
+
+
+def tree_weighted_sum(dt, coeffs: Sequence, ks: Sequence[Pytree]) -> Pytree:
+    """Compute ``dt * sum_i coeffs[i] * ks[i]`` leafwise (no base term)."""
+    nz = [(c, k) for c, k in zip(coeffs, ks) if c != 0.0]
+
+    def leaf(*k_leaves):
+        acc = nz[0][0] * k_leaves[0]
+        for (c, _), kl in zip(nz[1:], k_leaves[1:]):
+            acc = acc + c * kl
+        return dt * acc
+
+    return jax.tree_util.tree_map(leaf, *[k for _, k in nz])
+
+
+def tree_where(pred, a: Pytree, b: Pytree) -> Pytree:
+    """Leafwise ``where`` with a scalar (or broadcastable) predicate."""
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def tree_sub(a: Pytree, b: Pytree) -> Pytree:
+    return jax.tree_util.tree_map(lambda x, y: x - y, a, b)
+
+
+def tree_zeros_like(a: Pytree) -> Pytree:
+    return jax.tree_util.tree_map(jnp.zeros_like, a)
+
+
+def _sumsq_and_count(tree: Pytree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    acc_dtype = jnp.promote_types(
+        jnp.result_type(*[x.dtype for x in leaves]), jnp.float32
+    )
+    sumsq = sum(jnp.sum(jnp.square(x.astype(acc_dtype))) for x in leaves)
+    count = sum(x.size for x in leaves)
+    return sumsq, jnp.asarray(count, acc_dtype)
+
+
+def hairer_norm(tree: Pytree, axis_name: Optional[str] = None) -> jnp.ndarray:
+    """Scaled RMS norm: ``sqrt(sum(x^2) / n)`` over all pytree leaves.
+
+    With ``axis_name`` the sum-of-squares and element count are psum'd over
+    the mesh axis, producing the global-batch norm on every shard.
+    """
+    sumsq, count = _sumsq_and_count(tree)
+    if axis_name is not None:
+        sumsq = lax.psum(sumsq, axis_name)
+        count = lax.psum(count, axis_name)
+    return jnp.sqrt(sumsq / count)
+
+
+def error_ratio(
+    err: Pytree,
+    y0: Pytree,
+    y1: Pytree,
+    rtol,
+    atol,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """The tolerance-normalized error estimate ``EEst``.
+
+    ``EEst = hairer_norm(err / (atol + max(|y0|,|y1|) * rtol))``; a step is
+    accepted iff ``EEst <= 1``. This matches OrdinaryDiffEq's
+    ``calculate_residuals`` + default internal norm, which is what populates
+    ``integrator.EEst`` harvested by the reference's SavingCallback
+    (reference: src/models/neural_ode.jl:116).
+    """
+    scaled = jax.tree_util.tree_map(
+        lambda e, a, b: e / (atol + jnp.maximum(jnp.abs(a), jnp.abs(b)) * rtol),
+        err,
+        y0,
+        y1,
+    )
+    return hairer_norm(scaled, axis_name=axis_name)
+
+
+def norm_batched(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-column L2 norm, ``sqrt(sum(x^2, axis=0))`` keeping the batch axis.
+
+    Mirrors the reference utility used by FFJORD's kinetic regularizer
+    (reference: src/utils.jl:25, src/models/ffjord.jl:59).
+    """
+    return jnp.sqrt(jnp.sum(jnp.square(x), axis=0, keepdims=True))
