@@ -1,0 +1,111 @@
+"""Shared experiment harness.
+
+Replicates the skeleton every reference script follows (SURVEY §2.2):
+YAML config + seed -> timestamped run dir with config snapshot -> model
+build -> epoch-0 eval (inference runtime, NFE, metric) -> warm-start
+gradient/compile -> epoch loop (train, per-epoch NFE on a fixed dummy
+batch, full eval, table log) -> weights + results.yml. Adds what the
+reference lacks: CLI overrides for smoke runs, periodic checkpoints with
+resume, and optional data-parallel execution over a device mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+# Persistent compilation cache: adaptive-solver programs at "highest"
+# matmul precision are compile-heavy (minutes); cache them across runs.
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path.home() / ".cache" / "regneuralde_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+# Allow running as `python experiments/<name>.py` from the repo root.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from regneuralde_tpu.training import load_config, make_run_dir, save_yaml  # noqa: E402
+
+
+def parse_args(default_config: str) -> argparse.Namespace:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=default_config)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override config epochs (smoke runs)")
+    p.add_argument("--limit-batches", type=int, default=None,
+                   help="cap train/eval batches per epoch (smoke runs)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--regularize", type=lambda s: s.lower() == "true",
+                   default=None)
+    p.add_argument("--reg-type", default=None,
+                   choices=["error_est", "stiff_est", "error_stiff_est"])
+    p.add_argument("--steer", type=lambda s: s.lower() == "true", default=None)
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="solver trial-step bound")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--data-parallel", type=int, default=None, metavar="N",
+                   help="run data-parallel over N mesh devices")
+    return p.parse_args()
+
+
+def setup(args, experiment: str):
+    """Load config, apply overrides, create the run dir. Returns
+    (cfg_dict, hyper_dict, run_dir)."""
+    cfg = load_config(args.config)
+    h = dict(cfg.get("hyperparameters", {}))
+    if args.epochs is not None:
+        h["epochs"] = args.epochs
+    if args.batch_size is not None:
+        h["batch_size"] = args.batch_size
+    if args.regularize is not None:
+        h["regularize"] = args.regularize
+    if args.reg_type is not None:
+        h["type"] = args.reg_type
+    if args.steer is not None:
+        h["steer"] = args.steer
+    if args.seed is not None:
+        cfg["seed"] = args.seed
+    run_dir = make_run_dir(
+        args.results_dir, experiment, bool(h.get("regularize", False)),
+        h.get("type"), config_path=args.config,
+    )
+    print(f"[{experiment}] run dir: {run_dir}")
+    print(f"[{experiment}] devices: {jax.devices()}")
+    return cfg, h, run_dir
+
+
+class Timer:
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, *a):
+        self.elapsed = time.time() - self.t0
+
+
+def block(tree):
+    """Block until async dispatch finishes (honest timing)."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+    return tree
+
+
+def finish(run_dir: Path, results: dict, params=None):
+    """Write results.yml (+ final weights) like the reference
+    (mnist_node.jl:269-280)."""
+    save_yaml(Path(run_dir) / "results.yml",
+              jax.tree_util.tree_map(
+                  lambda v: v.tolist() if isinstance(v, np.ndarray) else v,
+                  results))
+    if params is not None:
+        flat = jax.tree_util.tree_map(np.asarray, params)
+        np.savez(Path(run_dir) / "weights.npz",
+                 **{f"p{i}": l for i, l in
+                    enumerate(jax.tree_util.tree_leaves(flat))})
+    print(f"results written to {run_dir}")

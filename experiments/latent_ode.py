@@ -1,0 +1,229 @@
+"""Physionet latent ODE: irregular time-series interpolation.
+
+TPU-native rebuild of the reference experiment (reference:
+experiments/latent_ode.jl): a masked GRU-Bayes encoder run backwards over
+the observation sequence (:39-99), Chain(100->50 tanh->40) to the latent
+(:112), a latent-20 ODE with 8 alternating Dense(20<->50, tanh) dynamics
+(:113-126) solved at the 49 physionet timestamps, and a Dense(20->37)
+decoder (:148). Loss = -(masked Gaussian LL (sigma=0.01) - annealed KL)
++ annealed solver regularizer (:211-269); eval metric = masked MSE
+(:271-292). STEER jitters the interior saveat points (:197-208).
+"""
+
+import functools
+import time
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from common import Timer, block, finish, parse_args, setup
+from regneuralde_tpu import reg
+from regneuralde_tpu.data import load_physionet
+from regneuralde_tpu.models import (
+    MLP,
+    AlternatingMLP,
+    LatentGRU,
+    LatentTimeSeriesModel,
+    NeuralODE,
+)
+from regneuralde_tpu.ops.tableaus import TSIT5
+from regneuralde_tpu.training import (
+    Checkpointer,
+    TrainState,
+    create_train_state,
+    latent_ode_optimizer,
+)
+from regneuralde_tpu.utils import table_logger
+
+SIGMA = 0.01  # observation noise of the Gaussian likelihood (:215)
+
+
+def log_likelihood(pred_err, mask):
+    """Masked Gaussian LL, normalized by observed count (:211-219)."""
+    ll = (
+        -jnp.square(pred_err) / (2 * SIGMA**2)
+        - jnp.log(SIGMA)
+        - jnp.log(2 * jnp.pi) / 2
+    )
+    num = jnp.sum(ll, axis=(1, 2))
+    den = jnp.sum(mask, axis=(1, 2))
+    return num / jnp.maximum(den, 1.0)
+
+
+def kl_divergence(mu, logvar):
+    """KL(N(mu, e^logvar) || N(0, I)), mean over latent dims (:222-223)."""
+    return jnp.mean(jnp.exp(logvar) + jnp.square(mu) - 1 - logvar, axis=-1) / 2
+
+
+def build_inputs(data, mask, tp):
+    """concat([data, mask, delta_t]) along features (:239,331)."""
+    dt = jnp.concatenate([tp[:, 1:] - tp[:, :-1], jnp.zeros_like(tp[:, :1])], 1)
+    return jnp.concatenate([data, mask, dt[..., None]], axis=-1)
+
+
+def main():
+    args = parse_args("experiments/configs/latent_ode.yml")
+    cfg, h, run_dir = setup(args, "latent_ode")
+    seed = cfg.get("seed", 1999)
+    epochs = h["epochs"]
+    regularize = bool(h.get("regularize", False))
+    reg_type = h.get("type", "error_est")
+    steer = bool(h.get("steer", False))
+    max_steps = args.max_steps or h.get("max_steps", 128)
+
+    train_loader, test_loader = load_physionet(h["batch_size"], seed=seed)
+    print(f"data source: {train_loader.source}")
+
+    # One shared saveat grid, as the reference takes sample 1's stamps (:137).
+    saveat = jnp.asarray(train_loader.first_batch()[5][0], jnp.float32)
+
+    node = NeuralODE(
+        AlternatingMLP(dim=20, hidden=50, depth=4),
+        time_dep=False,
+        solver="tsit5",
+        rtol=1.4e-8,
+        atol=1.4e-8,
+        max_steps=max_steps,
+        saveat=saveat,
+    )
+    model = LatentTimeSeriesModel(
+        rnn=LatentGRU(in_dim=37, hidden=40, latent_dim=50),
+        enc=MLP(features=(50, 2 * 20)),
+        node=node,
+        dec=nn.Dense(37),
+    )
+    sample = next(iter(train_loader))
+    x0 = build_inputs(jnp.asarray(sample[0]), jnp.asarray(sample[1]),
+                      jnp.asarray(sample[4]))
+    params = model.init(jax.random.PRNGKey(seed), x0)
+
+    if reg_type == "error_est":
+        lam_sched = reg.exp_decay_schedule(1e3, 1e2, epochs)
+        reg_fn = functools.partial(reg.error_estimate, agg="mean")
+    elif reg_type == "stiff_est":
+        lam_sched = lambda e: jnp.asarray(10.0, jnp.float32)
+        reg_fn = functools.partial(
+            reg.stiffness_estimate, stability_size=TSIT5.stability_size, agg="max"
+        )
+    else:
+        lam_sched = lambda e: jnp.asarray(10.0, jnp.float32)
+        reg_fn = functools.partial(
+            reg.error_stiffness, stability_size=TSIT5.stability_size, agg="mean"
+        )
+    kl_sched = reg.kl_anneal_schedule()
+    optimizer = latent_ode_optimizer()
+
+    def loss_fn(params, data, mask, tp, key, lam_r, lam_k, saveat_):
+        x = build_inputs(data, mask, tp)
+        out = model(params, x, key, saveat=saveat_)
+        err = (out.result - data) * mask
+        ll = log_likelihood(err, mask)
+        kl = lam_k * kl_divergence(out.mu0, out.logvar)
+        r = reg_fn(out.telemetry) if regularize else 0.0
+        loss = -jnp.mean(ll - kl) + lam_r * r
+        return loss, {"nll": -jnp.mean(ll), "kl": jnp.mean(kl), "reg": r,
+                      "nfe": out.nfe}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, data, mask, tp, key, lam_r, lam_k,
+                   saveat_):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, data, mask, tp, key, lam_r, lam_k, saveat_)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss, aux
+
+    @jax.jit
+    def eval_batch(params, data, mask, tp, key):
+        x = build_inputs(data, mask, tp)
+        out = model(params, x, key, saveat=saveat, mode="while")
+        err = (out.result - data) * mask
+        mse = jnp.sum(jnp.sum(jnp.square(err), axis=(1, 2))
+                      / jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0))
+        return mse, out.nfe
+
+    eval_key = jax.random.PRNGKey(seed + 3)
+
+    def sweep_mse(params, loader):
+        """Masked MSE over the dataset (:271-292)."""
+        total, count = 0.0, 0
+        for i, (d, m, _, _, tp, _) in enumerate(loader):
+            if args.limit_batches is not None and i >= args.limit_batches:
+                break
+            mse, _ = eval_batch(params, jnp.asarray(d), jnp.asarray(m),
+                                jnp.asarray(tp), eval_key)
+            total += float(mse)
+            count += d.shape[0]
+        return total / max(count, 1)
+
+    logger = table_logger(
+        ["Epoch", "NFE", "Train Loss", "Test Loss", "Train Time", "Infer Time"],
+        ["Total Loss", "Neg Log Likelihood", "KL Divergence", "Regularization"],
+    )
+    ckpt = Checkpointer(run_dir / "ckpt", save_every=10)
+    state = create_train_state(params, optimizer)
+
+    nfe_counts, train_losses, test_losses = [], [], []
+    train_times, infer_times = [], []
+
+    d0, m0, _, _, tp0, _ = train_loader.first_batch()
+    with Timer() as t:
+        _, nfe0 = block(eval_batch(state.params, jnp.asarray(d0),
+                                   jnp.asarray(m0), jnp.asarray(tp0), eval_key))
+    nfe_counts.append(int(nfe0)); infer_times.append(t.elapsed)
+    train_times.append(0.0)
+    train_losses.append(sweep_mse(state.params, train_loader))
+    test_losses.append(sweep_mse(state.params, test_loader))
+    logger(False, {}, 0, nfe_counts[0], train_losses[0], test_losses[0], 0.0,
+           infer_times[0])
+
+    key = jax.random.PRNGKey(seed + 17)
+    for epoch in range(1, epochs + 1):
+        lam_r = lam_sched(epoch - 1)
+        lam_k = kl_sched(epoch - 1)
+        timing = 0.0
+        for i, (d, m, _, _, tp, _) in enumerate(train_loader):
+            if args.limit_batches is not None and i >= args.limit_batches:
+                break
+            key, sk, steer_k = jax.random.split(key, 3)
+            sa = reg.steer_saveat(steer_k, saveat) if steer else saveat
+            t0 = time.time()
+            state, loss, aux = train_step(
+                state, jnp.asarray(d), jnp.asarray(m), jnp.asarray(tp), sk,
+                lam_r, lam_k, sa)
+            block(loss)
+            timing += time.time() - t0
+            logger(False, {"Total Loss": float(loss),
+                           "Neg Log Likelihood": float(aux["nll"]),
+                           "KL Divergence": float(aux["kl"]),
+                           "Regularization": float(aux["reg"])})
+
+        with Timer() as t:
+            _, nfe = block(eval_batch(state.params, jnp.asarray(d0),
+                                      jnp.asarray(m0), jnp.asarray(tp0),
+                                      eval_key))
+        nfe_counts.append(int(nfe)); infer_times.append(t.elapsed)
+        train_times.append(timing)
+        train_losses.append(sweep_mse(state.params, train_loader))
+        test_losses.append(sweep_mse(state.params, test_loader))
+        logger(False, {}, epoch, nfe_counts[-1], train_losses[-1],
+               test_losses[-1], timing, infer_times[-1])
+        ckpt.maybe_save(epoch, state.params, state.opt_state)
+
+    logger(True, {})
+    finish(run_dir, {
+        "nfe_counts": nfe_counts,
+        "train_loss": train_losses,
+        "test_loss": test_losses,
+        "train_runtimes": train_times,
+        "inference_runtimes": infer_times,
+    }, params=state.params)
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""NeuralODE layer: a dynamics module integrated by the owned solver core.
+
+TPU-native counterpart of ``TrackedNeuralODE`` (reference:
+src/models/neural_ode.jl). Differences by design:
+
+* No destructure/rebuild closures — params are an explicit pytree argument
+  (the reference's ``(m)(x, p)`` convention maps to ``model(params, x)``).
+* No SavingCallback — the solver returns telemetry streams; regularizers
+  are reductions over them (``regneuralde_tpu.reg``).
+* The four R/Z type-parameter specializations (neural_ode.jl:48-180)
+  collapse: telemetry always exists (free), and trajectory-vs-final output
+  is decided by ``saveat``.
+* Arrays are batch-major ``(batch, features)``; trajectories are
+  ``(batch, time, features)`` (the reference's (feat, time, batch),
+  transposed).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from regneuralde_tpu.ops import ODESolution, odeint
+from regneuralde_tpu.ops.ode import StepTelemetry
+
+
+class NeuralDEOutput(NamedTuple):
+    """What the reference returns as ``(res, nfe, sv)``
+    (neural_ode.jl:72-76), plus the full solution for power users."""
+
+    value: jnp.ndarray  # final state or (batch, time, feat) trajectory
+    nfe: jnp.ndarray
+    telemetry: StepTelemetry
+    solution: ODESolution
+
+
+class NeuralODE:
+    """du/dt = f(u, t; p), solved adaptively inside jit.
+
+    Args:
+      dynamics: a flax module; called as ``m(x, t)`` when ``time_dep`` else
+        ``m(x)``.
+      tspan: default (t0, t1) (reference: [0f0, 1f0]).
+      time_dep: whether dynamics takes the solve time (reference:
+        neural_ode.jl:55).
+      solver/rtol/atol/max_steps: solver configuration (reference uses
+        Tsit5 at rtol=atol=1.4e-8, experiments/mnist_node.jl:115-126).
+      saveat: default save grid; if set, ``value`` is the trajectory.
+    """
+
+    def __init__(
+        self,
+        dynamics: nn.Module,
+        tspan: Tuple[float, float] = (0.0, 1.0),
+        time_dep: bool = True,
+        solver: str = "tsit5",
+        rtol: float = 1.4e-8,
+        atol: float = 1.4e-8,
+        max_steps: int = 256,
+        saveat: Optional[jnp.ndarray] = None,
+        axis_name: Optional[str] = None,
+    ):
+        self.dynamics = dynamics
+        self.tspan = tspan
+        self.time_dep = time_dep
+        self.solver = solver
+        self.rtol = rtol
+        self.atol = atol
+        self.max_steps = max_steps
+        self.saveat = saveat
+        self.axis_name = axis_name
+
+    def init(self, key: jax.Array, x: jnp.ndarray) -> Any:
+        t0 = jnp.asarray(self.tspan[0], jnp.float32)
+        if self.time_dep:
+            return self.dynamics.init(key, x, t0)
+        return self.dynamics.init(key, x)
+
+    def _func(self, t, y, p):
+        if self.time_dep:
+            return self.dynamics.apply(p, y, t)
+        return self.dynamics.apply(p, y)
+
+    def __call__(
+        self,
+        params: Any,
+        x: jnp.ndarray,
+        *,
+        tspan: Optional[Tuple] = None,
+        saveat: Optional[jnp.ndarray] = None,
+        mode: str = "scan",
+    ) -> NeuralDEOutput:
+        t0, t1 = tspan if tspan is not None else self.tspan
+        saveat = saveat if saveat is not None else self.saveat
+        sol = odeint(
+            self._func,
+            x,
+            t0,
+            t1,
+            params,
+            solver=self.solver,
+            rtol=self.rtol,
+            atol=self.atol,
+            max_steps=self.max_steps,
+            saveat=saveat,
+            mode=mode,
+            axis_name=self.axis_name,
+        )
+        if saveat is not None:
+            # (time, batch, feat) -> (batch, time, feat)
+            value = jnp.swapaxes(sol.ys, 0, 1)
+        else:
+            value = sol.y1
+        return NeuralDEOutput(
+            value=value, nfe=sol.stats.nfe, telemetry=sol.telemetry, solution=sol
+        )

@@ -1,0 +1,125 @@
+"""NeuralSDE layer: drift + diagonal-diffusion modules over the SDE core.
+
+TPU-native counterpart of ``TrackedNeuralDSDE`` (reference:
+src/models/neural_sde.jl). The reference concatenates both nets' params
+into one flat vector split at ``len`` (neural_sde.jl:17,38) and counts NFE
+with mutable closure counters (neural_sde.jl:46,50); here params are a
+``{"drift", "diffusion"}`` pytree and the counters fall out of the solver's
+step accounting. Unlike the reference — whose SDE path is pinned to CPU
+arrays (neural_sde.jl:57, experiments/mnist_nsde.jl:11-13) — this runs on
+TPU like everything else.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from regneuralde_tpu.ops import SDESolution, sdeint
+from regneuralde_tpu.ops.ode import StepTelemetry
+
+
+class NeuralSDEOutput(NamedTuple):
+    """Mirrors the reference's ``(arr, nfe1, nfe2, sv)``
+    (neural_sde.jl:61)."""
+
+    value: jnp.ndarray
+    nfe1: jnp.ndarray  # drift evaluations
+    nfe2: jnp.ndarray  # diffusion evaluations
+    telemetry: StepTelemetry
+    solution: SDESolution
+
+
+class NeuralSDE:
+    """du = f(u;p) dt + g(u;p) dW (diagonal noise), solved adaptively.
+
+    The reference's models are time-independent (neural_sde.jl:45-51);
+    ``time_dep`` is provided for generality.
+    """
+
+    def __init__(
+        self,
+        drift: nn.Module,
+        diffusion: nn.Module,
+        tspan: Tuple[float, float] = (0.0, 1.0),
+        time_dep: bool = False,
+        solver: str = "sriw1",
+        rtol: float = 1.4e-1,
+        atol: float = 1.4e-1,
+        max_steps: int = 256,
+        saveat: Optional[jnp.ndarray] = None,
+        axis_name: Optional[str] = None,
+    ):
+        self.drift = drift
+        self.diffusion = diffusion
+        self.tspan = tspan
+        self.time_dep = time_dep
+        self.solver = solver
+        self.rtol = rtol
+        self.atol = atol
+        self.max_steps = max_steps
+        self.saveat = saveat
+        self.axis_name = axis_name
+
+    def init(self, key: jax.Array, x: jnp.ndarray) -> Any:
+        k1, k2 = jax.random.split(key)
+        if self.time_dep:
+            t0 = jnp.asarray(self.tspan[0], jnp.float32)
+            return {
+                "drift": self.drift.init(k1, x, t0),
+                "diffusion": self.diffusion.init(k2, x, t0),
+            }
+        return {"drift": self.drift.init(k1, x), "diffusion": self.diffusion.init(k2, x)}
+
+    def _drift(self, t, y, p):
+        if self.time_dep:
+            return self.drift.apply(p["drift"], y, t)
+        return self.drift.apply(p["drift"], y)
+
+    def _diffusion(self, t, y, p):
+        if self.time_dep:
+            return self.diffusion.apply(p["diffusion"], y, t)
+        return self.diffusion.apply(p["diffusion"], y)
+
+    def __call__(
+        self,
+        params: Any,
+        x: jnp.ndarray,
+        key: jax.Array,
+        *,
+        tspan: Optional[Tuple] = None,
+        saveat: Optional[jnp.ndarray] = None,
+        mode: str = "scan",
+    ) -> NeuralSDEOutput:
+        t0, t1 = tspan if tspan is not None else self.tspan
+        saveat = saveat if saveat is not None else self.saveat
+        sol = sdeint(
+            self._drift,
+            self._diffusion,
+            x,
+            t0,
+            t1,
+            params,
+            key=key,
+            solver=self.solver,
+            rtol=self.rtol,
+            atol=self.atol,
+            max_steps=self.max_steps,
+            saveat=saveat,
+            mode=mode,
+            axis_name=self.axis_name,
+        )
+        if saveat is not None:
+            value = jnp.swapaxes(sol.ys, 0, 1)  # (batch, time, feat)
+        else:
+            value = sol.y1
+        return NeuralSDEOutput(
+            value=value,
+            nfe1=sol.stats.nfe1,
+            nfe2=sol.stats.nfe2,
+            telemetry=sol.telemetry,
+            solution=sol,
+        )

@@ -35,6 +35,16 @@ class PIController:
     qmax: float = 10.0
     gamma: float = 0.9
     qoldinit: float = 1e-4
+    # Step-keeping deadband (Hairer's "standard controller" trick): when an
+    # accepted step proposes only a mild shrink (1 <= q <= qsteady_max),
+    # keep dt unchanged. Without it, float32 noise floors in the error
+    # estimate (EEst_noise ~ dt * c) interact with the PI equilibrium
+    # (EEst* ~ 0.17) to ratchet dt down far below what the accept criterion
+    # (EEst <= 1) requires — a ~4x step-count inflation at tolerances near
+    # the float32 noise floor (e.g. the reference's rtol=1.4e-8 in
+    # Float32). Set qsteady_max=1.0 to reproduce OrdinaryDiffEq's Tsit5
+    # default controller exactly.
+    qsteady_max: float = 1.2
 
     @classmethod
     def for_order(cls, order: int) -> "PIController":
@@ -51,6 +61,9 @@ class PIController:
         q11 = eest_safe**self.beta1
         q = q11 / (qold**self.beta2)
         q_acc = jnp.clip(q / self.gamma, 1.0 / self.qmax, 1.0 / self.qmin)
+        if self.qsteady_max > 1.0:
+            in_band = (q_acc >= 1.0) & (q_acc <= self.qsteady_max)
+            q_acc = jnp.where(in_band, 1.0, q_acc)
         dt_acc = dt / q_acc
         qold_acc = jnp.maximum(eest, self.qoldinit)
 

@@ -158,11 +158,21 @@ def _make_step_fn(
         y_new = y_stage  # b row == last a row (FSAL)
         g_prev = tree_lincomb(y, dt_eff, tab.a[n_stages - 3], ks[: n_stages - 2])
 
-        err_scaled = jax.tree_util.tree_map(
-            lambda *k_leaves: sum(c * kl for c, kl in zip(tab.btilde, k_leaves)),
+        # Embedded error, regrouped as sum(btilde_i * (k_i - k1)) — exact
+        # because sum(btilde) == 0, but numerically crucial in float32: the
+        # naive combination cancels O(1) stage values down to an O(dt^5)
+        # residual, so its rounding noise (~1e-7 absolute) floors the error
+        # estimate and pins the controller at a tiny dt at tight tolerances.
+        # Differencing against k1 first makes every summand O(dt), dropping
+        # the noise floor to the irreducible stage-storage rounding and
+        # letting dt open up to the true-error limit (~10x fewer steps at
+        # rtol=1.4e-8 on the MNIST dynamics).
+        err = jax.tree_util.tree_map(
+            lambda *k_leaves: dt_eff * sum(
+                c * (kl - k_leaves[0]) for c, kl in zip(tab.btilde[1:], k_leaves[1:])
+            ),
             *ks,
         )
-        err = jax.tree_util.tree_map(lambda e: dt_eff * e, err_scaled)
         eest = error_ratio(err, y, y_new, rtol, atol, axis_name=axis_name)
         eest = eest.astype(err_dtype)
 
@@ -256,6 +266,7 @@ def odeint(
     mode: str = "scan",
     remat: bool = True,
     axis_name: Optional[str] = None,
+    matmul_precision: Optional[str] = "highest",
 ) -> ODESolution:
     """Integrate ``dy/dt = func(t, y, args)`` from ``t0`` to ``t1``.
 
@@ -280,7 +291,23 @@ def odeint(
       remat: checkpoint each step body (scan mode) to bound backward memory.
       axis_name: mesh axis for globally synchronized step control under
         ``shard_map`` data parallelism.
+      matmul_precision: matmul precision for everything inside the solve.
+        TPU MXUs default to bfloat16 multiplies, whose rounding noise
+        (~4e-3 relative) would swamp the embedded error estimate at tight
+        tolerances — the controller then grinds dt to the noise floor and
+        NFE explodes ~25x. ``"highest"`` (default) makes the tolerance
+        meaningful on TPU and is a no-op on CPU; pass ``None`` to keep the
+        ambient precision for loose-tolerance speed runs.
     """
+    if matmul_precision is not None:
+        with jax.default_matmul_precision(matmul_precision):
+            return odeint(
+                func, y0, t0, t1, args,
+                solver=solver, rtol=rtol, atol=atol, dt0=dt0,
+                max_steps=max_steps, saveat=saveat, controller=controller,
+                mode=mode, remat=remat, axis_name=axis_name,
+                matmul_precision=None,
+            )
     tab = get_tableau(solver)
     ctrl = controller or PIController.for_order(tab.order)
 

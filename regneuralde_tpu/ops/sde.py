@@ -221,6 +221,7 @@ def sdeint(
     mode: str = "scan",
     remat: bool = True,
     axis_name: Optional[str] = None,
+    matmul_precision: Optional[str] = "highest",
 ) -> SDESolution:
     """Integrate ``dy = drift dt + diffusion dW`` (diagonal noise).
 
@@ -228,7 +229,18 @@ def sdeint(
     step). The minibatch is one SDE state with one global error norm, as in
     the reference; Monte-Carlo trajectory fan-out is done by the caller by
     tiling the batch axis (reference: src/models/supervised_classification.jl:92).
+    ``matmul_precision``: see ``odeint`` — keeps TPU bf16 matmul noise out
+    of the embedded error estimate.
     """
+    if matmul_precision is not None:
+        with jax.default_matmul_precision(matmul_precision):
+            return sdeint(
+                drift, diffusion, y0, t0, t1, args,
+                key=key, solver=solver, rtol=rtol, atol=atol, dt0=dt0,
+                max_steps=max_steps, saveat=saveat, controller=controller,
+                mode=mode, remat=remat, axis_name=axis_name,
+                matmul_precision=None,
+            )
     time_dtype = jnp.result_type(jnp.asarray(t0).dtype, jnp.float32)
     t0 = jnp.asarray(t0, time_dtype)
     t1 = jnp.asarray(t1, time_dtype)

@@ -1,0 +1,65 @@
+"""Native (C++) data-loading runtime tests."""
+
+import numpy as np
+import pytest
+
+from regneuralde_tpu.data import native
+
+pytestmark = pytest.mark.skipif(
+    not native.is_available(), reason="native library unavailable"
+)
+
+
+def test_npy_roundtrip(tmp_path):
+    for dtype in (np.float32, np.float64, np.uint8, np.int64):
+        a = (np.arange(24) % 7).astype(dtype).reshape(2, 3, 4)
+        p = tmp_path / f"t_{np.dtype(dtype).name}.npy"
+        np.save(p, a)
+        b = native.load_npy(p)
+        assert b is not None and b.dtype == dtype
+        np.testing.assert_array_equal(a, b)
+
+
+def test_idx_parse(tmp_path):
+    import struct
+    a = np.random.default_rng(0).integers(0, 255, (5, 4, 3)).astype(np.uint8)
+    p = tmp_path / "t.idx"
+    with open(p, "wb") as f:
+        f.write(struct.pack(">BBBB", 0, 0, 0x08, 3))
+        for d in a.shape:
+            f.write(struct.pack(">I", d))
+        f.write(a.tobytes())
+    b = native.load_idx(p)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_loader_epochs_alignment_and_shuffle():
+    x = np.random.default_rng(0).standard_normal((103, 5)).astype(np.float32)
+    y = np.arange(103, dtype=np.int64)
+    dl = native.NativeDataLoader((x, y), batch_size=16, shuffle=True, seed=3)
+    assert len(dl) == 7
+    orders = []
+    for _ in range(2):
+        seen = []
+        for bx, by in dl:
+            np.testing.assert_allclose(bx, x[by])  # rows stay aligned
+            seen.extend(by.tolist())
+        assert sorted(seen) == list(range(103))
+        orders.append(seen)
+    assert orders[0] != orders[1]  # reshuffled between epochs
+
+
+def test_loader_drop_last():
+    x = np.arange(10, dtype=np.float32).reshape(10, 1)
+    dl = native.NativeDataLoader((x,), batch_size=3, drop_last=True)
+    assert len(dl) == 3
+    total = sum(b.shape[0] for b in dl)
+    assert total == 9
+    dl.close()
+
+
+def test_first_batch_deterministic():
+    x = np.arange(20, dtype=np.float32).reshape(20, 1)
+    dl = native.NativeDataLoader((x,), batch_size=4, shuffle=True)
+    np.testing.assert_array_equal(dl.first_batch(), x[:4])
+    dl.close()

@@ -1,0 +1,129 @@
+"""Mesh parallelism tests on the 8-device virtual CPU mesh.
+
+The load-bearing property: a data-parallel solve with ``axis_name`` must
+reproduce the single-device solve exactly — same EEst sequence, same
+accept/reject pattern, same NFE — because the solver's error norms psum
+over the mesh axis (globally synchronized step control).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from regneuralde_tpu import parallel as par
+from regneuralde_tpu import training as T
+from regneuralde_tpu.models import MLP, MLPDynamics, NeuralODE
+from regneuralde_tpu.ops import odeint
+
+
+def _f(t, y, p):
+    return jnp.tanh(y @ p) - 0.5 * y
+
+
+class TestSynchronizedStepControl:
+    def test_dp_solve_matches_single_device(self):
+        assert jax.device_count() >= 8
+        mesh = par.make_mesh(8)
+        key = jax.random.PRNGKey(0)
+        y0 = jax.random.normal(key, (16, 4))
+        p = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, 4))
+
+        ref = odeint(_f, y0, 0.0, 1.0, p, rtol=1e-5, atol=1e-5, max_steps=64)
+
+        def shard_solve(y0, p):
+            sol = odeint(_f, y0, 0.0, 1.0, p, rtol=1e-5, atol=1e-5,
+                         max_steps=64, axis_name="data")
+            return sol.y1, sol.stats.nfe, sol.telemetry.eest
+
+        mapped = jax.jit(jax.shard_map(
+            shard_solve, mesh=mesh,
+            in_specs=(P("data", None), P()),
+            out_specs=(P("data", None), P(), P()),
+        ))
+        y1, nfe, eest = mapped(par.shard_batch(mesh, y0), par.replicate(mesh, p))
+
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(ref.y1),
+                                   rtol=2e-5, atol=1e-6)
+        assert int(nfe) == int(ref.stats.nfe)
+        # EEst is a catastrophic-cancellation quantity; psum-of-shard-sums
+        # vs one global sum changes the f32 rounding, so compare coarsely —
+        # the meaningful contract (identical accept/reject sequence, NFE,
+        # and trajectory) is asserted exactly above.
+        np.testing.assert_allclose(np.asarray(eest),
+                                   np.asarray(ref.telemetry.eest),
+                                   rtol=0.2, atol=1e-7)
+
+
+class TestDPTraining:
+    def test_dp_train_step_runs_and_descends(self):
+        mesh = par.make_mesh(8)
+        node = NeuralODE(MLPDynamics(dim=4, hidden=8), rtol=1e-3, atol=1e-3,
+                         max_steps=48, axis_name=par.AXIS)
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 4))
+        target = jnp.flip(x, -1)
+        params = node.init(jax.random.PRNGKey(1), x)
+
+        def loss_fn(params, x, target):
+            out = node(params, x)
+            loss = jnp.mean((out.value - target) ** 2)
+            return loss, {"nfe": out.nfe}
+
+        opt = optax.adam(1e-2)
+        state = T.create_train_state(par.replicate(mesh, params), opt)
+        state = T.TrainState(state.params,
+                             par.replicate(mesh, state.opt_state), 0)
+        step = par.make_dp_train_step(loss_fn, opt, mesh)
+        xb = par.shard_batch(mesh, x)
+        tb = par.shard_batch(mesh, target)
+
+        losses = []
+        for _ in range(10):
+            state, loss, aux = step(state, xb, tb)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert int(aux["nfe"]) > 0
+
+    def test_dp_matches_single_device_gradients(self):
+        mesh = par.make_mesh(8)
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 4))
+
+        def loss_single(p, x):
+            sol = odeint(_f, x, 0.0, 1.0, p, rtol=1e-4, atol=1e-4, max_steps=48)
+            return jnp.mean(sol.y1 ** 2)
+
+        def loss_shard(p, x):
+            sol = odeint(_f, x, 0.0, 1.0, p, rtol=1e-4, atol=1e-4,
+                         max_steps=48, axis_name="data")
+            return jnp.mean(sol.y1 ** 2)
+
+        p = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, 4))
+        g_ref = jax.grad(loss_single)(p, x)
+
+        def shard_fn(p, x):
+            # pmean the LOSS inside grad: with psum-coupled solves,
+            # cotangents crossing psum accumulate over shards, so
+            # grad-then-pmean would overcount by the axis size.
+            g = jax.grad(lambda pp: jax.lax.pmean(loss_shard(pp, x), "data"))(p)
+            return g
+
+        g_dp = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P("data", None)), out_specs=P(),
+        ))(par.replicate(mesh, p), par.shard_batch(mesh, x))
+        # Loose: gradients traverse the controller's EEst chain, whose f32
+        # rounding differs between sharded and global reductions.
+        np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_ref),
+                                   rtol=5e-2, atol=1e-4)
+
+    def test_dp_eval_step(self):
+        mesh = par.make_mesh(8)
+
+        def eval_fn(p, x):
+            return {"m": jnp.mean(x * p)}
+
+        ev = par.make_dp_eval_step(eval_fn, mesh)
+        x = jnp.arange(16.0).reshape(16, 1)
+        out = ev(par.replicate(mesh, jnp.asarray(2.0)), par.shard_batch(mesh, x))
+        np.testing.assert_allclose(float(out["m"]), 15.0, rtol=1e-6)
