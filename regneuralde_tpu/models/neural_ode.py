@@ -62,6 +62,7 @@ class NeuralODE:
         max_steps: int = 256,
         saveat: Optional[jnp.ndarray] = None,
         axis_name: Optional[str] = None,
+        fused: bool = False,
     ):
         self.dynamics = dynamics
         self.tspan = tspan
@@ -72,6 +73,17 @@ class NeuralODE:
         self.max_steps = max_steps
         self.saveat = saveat
         self.axis_name = axis_name
+        # Fused Pallas trial step: the whole Tsit5 stage sweep (six MLP
+        # evaluations + stage lincombs + embedded error) runs VMEM-resident
+        # in one kernel per batch tile. Only valid for MLPDynamics-shaped
+        # dynamics under the tsit5 tableau.
+        from regneuralde_tpu.models.basic import MLPDynamics as _MLPD
+
+        if fused and not (solver == "tsit5" and isinstance(dynamics, _MLPD)):
+            raise ValueError(
+                "fused=True requires solver='tsit5' and MLPDynamics dynamics"
+            )
+        self.fused = fused
 
     def init(self, key: jax.Array, x: jnp.ndarray) -> Any:
         t0 = jnp.asarray(self.tspan[0], jnp.float32)
@@ -95,6 +107,13 @@ class NeuralODE:
     ) -> NeuralDEOutput:
         t0, t1 = tspan if tspan is not None else self.tspan
         saveat = saveat if saveat is not None else self.saveat
+        stage_sweep = None
+        if self.fused:
+            from regneuralde_tpu.ops.pallas_mlp import mlp_dynamics_stage_sweep
+
+            stage_sweep = lambda t, dt, y, f0, p: mlp_dynamics_stage_sweep(
+                t, dt, y, f0, p
+            )
         sol = odeint(
             self._func,
             x,
@@ -108,6 +127,7 @@ class NeuralODE:
             saveat=saveat,
             mode=mode,
             axis_name=self.axis_name,
+            stage_sweep=stage_sweep,
         )
         if saveat is not None:
             # (time, batch, feat) -> (batch, time, feat)

@@ -134,6 +134,7 @@ def _make_step_fn(
     atol,
     saveat: Optional[jnp.ndarray],
     axis_name: Optional[str],
+    stage_sweep: Optional[Callable] = None,
 ):
     if not tab.fsal:
         raise NotImplementedError("only FSAL tableaus are supported")
@@ -141,20 +142,14 @@ def _make_step_fn(
     time_dtype = jnp.result_type(t1)
     err_dtype = jnp.promote_types(time_dtype, jnp.float32)
 
-    def step(carry: _Carry):
-        t, dt, qold, y, f0 = carry.t, carry.dt, carry.qold, carry.y, carry.f0
-
-        remaining = t1 - t
-        is_last = (dt - remaining) * tdir >= 0
-        dt_eff = jnp.where(is_last, remaining, dt)
-
+    def generic_sweep(t, dt_eff, y, f0, args_):
         # Stage sweep. FSAL: the advancing solution equals the input of the
         # final stage, whose derivative seeds the next step's k1.
         ks = [f0]
         y_stage = y
         for i in range(1, n_stages):
             y_stage = tree_lincomb(y, dt_eff, tab.a[i - 1], ks)
-            ks.append(func(t + tab.c[i] * dt_eff, y_stage, args))
+            ks.append(func(t + tab.c[i] * dt_eff, y_stage, args_))
         y_new = y_stage  # b row == last a row (FSAL)
         g_prev = tree_lincomb(y, dt_eff, tab.a[n_stages - 3], ks[: n_stages - 2])
 
@@ -173,12 +168,24 @@ def _make_step_fn(
             ),
             *ks,
         )
+        return y_new, ks[-1], err, ks[-2], g_prev
+
+    sweep = stage_sweep if stage_sweep is not None else generic_sweep
+
+    def step(carry: _Carry):
+        t, dt, qold, y, f0 = carry.t, carry.dt, carry.qold, carry.y, carry.f0
+
+        remaining = t1 - t
+        is_last = (dt - remaining) * tdir >= 0
+        dt_eff = jnp.where(is_last, remaining, dt)
+
+        y_new, k_last, err, k_prev, g_prev = sweep(t, dt_eff, y, f0, args)
         eest = error_ratio(err, y, y_new, rtol, atol, axis_name=axis_name)
         eest = eest.astype(err_dtype)
 
         # Stiffness estimate from the last two internal stages, as
         # OrdinaryDiffEq's composite algorithms compute it.
-        eig_num = hairer_norm(tree_sub(ks[-1], ks[-2]), axis_name=axis_name)
+        eig_num = hairer_norm(tree_sub(k_last, k_prev), axis_name=axis_name)
         eig_den = hairer_norm(tree_sub(y_new, g_prev), axis_name=axis_name)
         eigen_est = jnp.where(
             eig_den > 0, eig_num / jnp.maximum(eig_den, 1e-30), 0.0
@@ -192,7 +199,7 @@ def _make_step_fn(
         t_new = jnp.where(accept, jnp.where(is_last, t1, t + dt_eff), t)
         done_new = accept & is_last
         y_out = tree_where(accept, y_new, y)
-        f0_out = tree_where(accept, ks[-1], f0)
+        f0_out = tree_where(accept, k_last, f0)
 
         ys_buf = carry.ys_buf
         if saveat is not None:
@@ -203,7 +210,7 @@ def _make_step_fn(
                 & ((saveat - t_end) * tdir <= 0)
             )
             theta = (saveat - t) / jnp.where(dt_eff == 0, 1.0, dt_eff)
-            y_interp = _hermite_eval(theta, dt_eff, y, y_new, f0, ks[-1])
+            y_interp = _hermite_eval(theta, dt_eff, y, y_new, f0, k_last)
             ys_buf = jax.tree_util.tree_map(
                 lambda buf, yi: jnp.where(
                     in_window.reshape((-1,) + (1,) * (buf.ndim - 1)), yi, buf
@@ -267,6 +274,7 @@ def odeint(
     remat: bool = True,
     axis_name: Optional[str] = None,
     matmul_precision: Optional[str] = "highest",
+    stage_sweep: Optional[Callable] = None,
 ) -> ODESolution:
     """Integrate ``dy/dt = func(t, y, args)`` from ``t0`` to ``t1``.
 
@@ -306,7 +314,7 @@ def odeint(
                 solver=solver, rtol=rtol, atol=atol, dt0=dt0,
                 max_steps=max_steps, saveat=saveat, controller=controller,
                 mode=mode, remat=remat, axis_name=axis_name,
-                matmul_precision=None,
+                matmul_precision=None, stage_sweep=stage_sweep,
             )
     tab = get_tableau(solver)
     ctrl = controller or PIController.for_order(tab.order)
@@ -359,7 +367,8 @@ def odeint(
     )
 
     step_fn, noop_fn = _make_step_fn(
-        func, args, tab, ctrl, t1, tdir, span, rtol, atol, saveat, axis_name
+        func, args, tab, ctrl, t1, tdir, span, rtol, atol, saveat, axis_name,
+        stage_sweep=stage_sweep,
     )
 
     if mode == "scan":

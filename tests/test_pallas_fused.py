@@ -1,0 +1,96 @@
+"""Fused Pallas trial-step kernel tests (interpret mode on CPU).
+
+The kernel must agree with the generic solver sweep to float32 rounding:
+same stage math, same regrouped embedded error, same FSAL outputs; and the
+custom-VJP backward must match autodiff through the generic path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from regneuralde_tpu.models import MLPDynamics, NeuralODE
+from regneuralde_tpu.ops import odeint
+from regneuralde_tpu.ops.pallas_mlp import (
+    _reference_sweep,
+    _split_params,
+    mlp_dynamics_stage_sweep,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _setup(batch=8, dim=16, hidden=12):
+    m = MLPDynamics(dim=dim, hidden=hidden)
+    y = jax.random.normal(KEY, (batch, dim)) * 0.5
+    p = m.init(KEY, y, 0.0)
+    f = lambda t, yy, pp: m.apply(pp, yy, t)
+    k1 = f(0.1, y, p)
+    return m, f, y, p, k1
+
+
+class TestFusedKernel:
+    def test_matches_reference_sweep(self):
+        _, f, y, p, k1 = _setup()
+        t = jnp.asarray(0.1)
+        dt = jnp.asarray(0.05)
+        fused = mlp_dynamics_stage_sweep(t, dt, y, k1, p)
+        ref = _reference_sweep(t, dt, y, k1, _split_params(p))
+        for a, b, name in zip(fused, ref, ["y_new", "k7", "err", "k6", "g6"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+                err_msg=name,
+            )
+
+    def test_matches_generic_solver_sweep(self):
+        # End-to-end: a full adaptive solve with the fused sweep must land
+        # on the same trajectory/NFE as the generic one.
+        _, f, y, p, _ = _setup()
+        sweep = lambda t, dt, yy, f0, pp: mlp_dynamics_stage_sweep(t, dt, yy, f0, pp)
+        kw = dict(rtol=1e-5, atol=1e-5, max_steps=64)
+        s_gen = odeint(f, y, 0.0, 1.0, p, **kw)
+        s_fus = odeint(f, y, 0.0, 1.0, p, stage_sweep=sweep, **kw)
+        assert int(s_gen.stats.nfe) == int(s_fus.stats.nfe)
+        np.testing.assert_allclose(
+            np.asarray(s_gen.y1), np.asarray(s_fus.y1), rtol=1e-4, atol=1e-6
+        )
+
+    def test_custom_vjp_matches_generic_grad(self):
+        _, f, y, p, _ = _setup()
+        sweep = lambda t, dt, yy, f0, pp: mlp_dynamics_stage_sweep(t, dt, yy, f0, pp)
+        kw = dict(rtol=1e-4, atol=1e-4, max_steps=64)
+
+        def loss_gen(p):
+            return jnp.sum(odeint(f, y, 0.0, 1.0, p, **kw).y1 ** 2)
+
+        def loss_fus(p):
+            return jnp.sum(
+                odeint(f, y, 0.0, 1.0, p, stage_sweep=sweep, **kw).y1 ** 2
+            )
+
+        g1 = jax.grad(loss_gen)(p)
+        g2 = jax.grad(loss_fus)(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-5)
+
+    def test_neural_ode_fused_flag(self):
+        m = MLPDynamics(dim=16, hidden=12)
+        node = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=64, fused=True)
+        x = jax.random.normal(KEY, (8, 16)) * 0.5
+        params = node.init(KEY, x)
+        out_f = node(params, x)
+        node_plain = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=64)
+        out_p = node_plain(params, x)
+        assert int(out_f.nfe) == int(out_p.nfe)
+        np.testing.assert_allclose(np.asarray(out_f.value),
+                                   np.asarray(out_p.value), rtol=1e-4,
+                                   atol=1e-6)
+
+    def test_fused_flag_rejects_wrong_dynamics(self):
+        from regneuralde_tpu.models import MLP
+        import pytest
+
+        with pytest.raises(ValueError):
+            NeuralODE(MLP(features=(4,)), fused=True)
