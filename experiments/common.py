@@ -50,6 +50,8 @@ def parse_args(default_config: str) -> argparse.Namespace:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--data-parallel", type=int, default=None, metavar="N",
                    help="run data-parallel over N mesh devices")
+    p.add_argument("--resume-from", default=None, metavar="RUN_DIR",
+                   help="resume from the latest checkpoint of a prior run dir")
     return p.parse_args()
 
 

@@ -144,6 +144,29 @@ def main():
     )
     ckpt = Checkpointer(run_dir / "ckpt", save_every=5)
 
+    start_epoch = 1
+    if args.resume_from:
+        from pathlib import Path
+
+        prev = Checkpointer(Path(args.resume_from) / "ckpt")
+        # Restore against a template so optax NamedTuple states keep their
+        # structure (orbax returns raw dicts otherwise).
+        template = {"params": params, "opt_state": optimizer.init(params),
+                    "extra": {"epoch": 0}}
+        step_num, payload = prev.restore_latest(template)
+        if step_num is None:
+            raise SystemExit(f"no checkpoint found under {args.resume_from}")
+        if args.data_parallel:
+            from regneuralde_tpu import parallel as par
+
+            state = TrainState(par.replicate(mesh, payload["params"]),
+                               par.replicate(mesh, payload["opt_state"]), 0)
+        else:
+            state = TrainState(payload["params"], payload["opt_state"], 0)
+        start_epoch = int(payload.get("extra", {}).get("epoch", step_num)) + 1
+        prev.close()
+        print(f"resumed from {args.resume_from} at epoch {start_epoch - 1}")
+
     nfe_counts, train_accs, test_accs = [], [], []
     train_times, infer_times = [], []
 
@@ -158,7 +181,7 @@ def main():
            infer_times[0])
 
     steer_key = jax.random.PRNGKey(seed + 1)
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         lam = lam_sched(epoch - 1)
         timing = 0.0
         for i, (x, y) in enumerate(train_loader):

@@ -3,6 +3,7 @@
 from typing import Any, Callable, NamedTuple, Tuple
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from regneuralde_tpu.training.checkpoint import Checkpointer
@@ -34,6 +35,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     has_aux: bool = True,
     donate: bool = True,
+    nan_guard: bool = False,
 ) -> Callable:
     """Jit-compiled ``(state, *batch) -> (state, loss, aux)``.
 
@@ -42,6 +44,11 @@ def make_train_step(
     update_parameters! + tape-reset + GC dance
     (experiments/mnist_node.jl:229-237, src/utils.jl:148-156) with one
     fused XLA program.
+
+    ``nan_guard``: skip the whole update (params AND optimizer state)
+    when any gradient entry is non-finite — the enabled version of the
+    reference's commented-out NaN abort (src/utils.jl:152), but as a
+    step-skip instead of a crash; aux gains ``grads_finite``.
     """
     grad_fn = jax.value_and_grad(loss_fn, has_aux=has_aux)
 
@@ -53,6 +60,21 @@ def make_train_step(
             aux = None
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if nan_guard:
+            finite = jnp.all(jnp.stack([
+                jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)
+            ]))
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), params, state.params
+            )
+            opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old),
+                opt_state, state.opt_state,
+            )
+            if has_aux and isinstance(aux, dict):
+                aux = dict(aux, grads_finite=finite)
+            else:
+                aux = (aux, finite)
         return TrainState(params, opt_state, state.step + 1), loss, aux
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
