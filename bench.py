@@ -31,8 +31,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import functools
 
 import flax.linen as nn
-import jax.numpy as jnp
-import numpy as np
 import optax
 
 from regneuralde_tpu import reg

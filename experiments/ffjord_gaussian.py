@@ -8,13 +8,7 @@ annealed 2e3 -> 1e3 (:136-140). Generates samples via the reverse flow
 with an exact trace at the end (:257-264).
 """
 
-import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from common import Timer, block, finish, parse_args, setup
+from common import parse_args, setup
 from ffjord_common import run_ffjord_experiment
 from regneuralde_tpu.data import load_gaussian_mixture
 

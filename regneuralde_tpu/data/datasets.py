@@ -128,7 +128,7 @@ def load_mnist(
     return train, test
 
 
-def _synthetic_physionet(n=1024, feats=37, steps=49, seed=0):
+def _synthetic_physionet(n=4096, feats=37, steps=49, seed=0):
     """Irregular multivariate series with observation masks, matching the
     physionet bundle's schema (reference: src/dataset.jl:70-77)."""
     rng = np.random.default_rng(seed)

@@ -22,7 +22,7 @@ math). Time-major sequences are ``(batch, time, features)``.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Sequence
 
 import flax.linen as nn
 import jax

@@ -36,7 +36,6 @@ accepted step (free: uses the FSAL derivatives already computed).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

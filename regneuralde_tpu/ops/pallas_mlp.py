@@ -127,9 +127,19 @@ def _reference_sweep(t, dt, y, k1, parts):
     return y_new, ks[-1], err, ks[-2], g6
 
 
+def _pick_block(batch: int, target: int = 128) -> int:
+    """Largest divisor of ``batch`` not exceeding ``target`` — tiles must
+    cover the batch exactly because the backward kernel reduces over tile
+    rows (padded rows would pollute the weight cotangents)."""
+    for b in range(min(target, batch), 0, -1):
+        if batch % b == 0:
+            return b
+    return batch
+
+
 def _pallas_sweep(t, dt, y, k1, parts, block_batch: int = 128):
     batch, dim = y.shape
-    bt = min(block_batch, batch)
+    bt = _pick_block(batch, block_batch)
     grid = (pl.cdiv(batch, bt),)
     w1x, w1t, b1, w2h, w2t, b2 = parts
     hidden = w1x.shape[1]
@@ -162,6 +172,198 @@ def _pallas_sweep(t, dt, y, k1, parts, block_batch: int = 128):
     return tuple(out)
 
 
+def _fused_bwd_kernel(
+    t_ref, dt_ref,  # SMEM scalars (1, 1)
+    y_ref, k1_ref,
+    w1x_ref, w1t_ref, b1_ref, w2h_ref, w2t_ref, b2_ref,
+    cyn_ref, ck7_ref, cerr_ref, ck6_ref, cg6_ref,
+    # outputs
+    cy_ref, ck1_ref,
+    cw1x_ref, cw1t_ref, cb1_ref, cw2h_ref, cw2t_ref, cb2_ref,
+    ct_ref, cdt_ref,
+):
+    """Fused backward: recompute the six stages in VMEM, then run the
+    reverse chain — transposed matmuls, tanh derivatives, stage-lincomb
+    transposes, and the scalar (t, dt) reductions — in the same kernel.
+    Weight/scalar cotangents accumulate across batch-tile grid steps
+    (sequential revisiting on TPU)."""
+    tab = TSIT5
+    t = t_ref[0, 0]
+    dt = dt_ref[0, 0]
+    y = y_ref[:]
+    w1x = w1x_ref[:]
+    w1t = w1t_ref[:]
+    b1 = b1_ref[:]
+    w2h = w2h_ref[:]
+    w2t = w2t_ref[:]
+    b2 = b2_ref[:]
+
+    # ---- forward recompute, keeping stage values live in VMEM ----
+    ks = [k1_ref[:]]
+    yis, hs = [], []
+    for i in range(1, 7):
+        acc = tab.a[i - 1][0] * ks[0]
+        for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+            if c != 0.0:
+                acc = acc + c * k
+        yi = y + dt * acc
+        ti = t + tab.c[i] * dt
+        pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32) + ti * w1t + b1
+        h = jnp.tanh(pre1)
+        pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32) + ti * w2t + b2
+        ks.append(jnp.tanh(pre2))
+        yis.append(yi)
+        hs.append(h)
+
+    cerr = cerr_ref[:]
+    # ---- seed cotangents ----
+    # err = dt * sum_j btilde_j (k_j - k1) == dt * sum_j btilde_j k_j
+    ct_ks = [tab.btilde[j] * (dt * cerr) for j in range(7)]
+    ct_ks[6] = ct_ks[6] + ck7_ref[:]
+    ct_ks[5] = ct_ks[5] + ck6_ref[:]
+    ct_yi_seed = {6: cyn_ref[:], 5: cg6_ref[:]}
+
+    # d err / d dt = sum(cerr * S), S = err/dt recomputed from the k's
+    s_comb = tab.btilde[1] * (ks[1] - ks[0])
+    for c, k in zip(tab.btilde[2:], ks[2:]):
+        s_comb = s_comb + c * (k - ks[0])
+    ct_dt = jnp.sum(cerr * s_comb)
+    ct_t = jnp.zeros((), jnp.float32)
+    ct_y = jnp.zeros_like(y)
+    cw1x = jnp.zeros_like(w1x)
+    cw1t = jnp.zeros_like(w1t)
+    cb1 = jnp.zeros_like(b1)
+    cw2h = jnp.zeros_like(w2h)
+    cw2t = jnp.zeros_like(w2t)
+    cb2 = jnp.zeros_like(b2)
+
+    contract_batch = (((0,), (0,)), ((), ()))
+    for i in range(6, 0, -1):
+        k_i = ks[i]
+        h_i = hs[i - 1]
+        yi = yis[i - 1]
+        ti = t + tab.c[i] * dt
+
+        ct_pre2 = ct_ks[i] * (1.0 - k_i * k_i)
+        cw2h = cw2h + jax.lax.dot_general(
+            h_i, ct_pre2, contract_batch, preferred_element_type=jnp.float32
+        )
+        rows2 = jnp.sum(ct_pre2, axis=0, keepdims=True)
+        cw2t = cw2t + ti * rows2
+        cb2 = cb2 + rows2
+        ct_ti = jnp.sum(ct_pre2 * w2t)
+
+        ct_h = jax.lax.dot_general(
+            ct_pre2, w2h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ct_pre1 = ct_h * (1.0 - h_i * h_i)
+        cw1x = cw1x + jax.lax.dot_general(
+            yi, ct_pre1, contract_batch, preferred_element_type=jnp.float32
+        )
+        rows1 = jnp.sum(ct_pre1, axis=0, keepdims=True)
+        cw1t = cw1t + ti * rows1
+        cb1 = cb1 + rows1
+        ct_ti = ct_ti + jnp.sum(ct_pre1 * w1t)
+
+        ct_yi = ct_yi_seed.get(i, 0.0) + jax.lax.dot_general(
+            ct_pre1, w1x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ct_y = ct_y + ct_yi
+        acc = tab.a[i - 1][0] * ks[0]
+        for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+            if c != 0.0:
+                acc = acc + c * k
+        ct_dt = ct_dt + jnp.sum(ct_yi * acc) + tab.c[i] * ct_ti
+        ct_t = ct_t + ct_ti
+        for j, c in enumerate(tab.a[i - 1]):
+            if c != 0.0:
+                ct_ks[j] = ct_ks[j] + (dt * c) * ct_yi
+
+    cy_ref[:] = ct_y
+    ck1_ref[:] = ct_ks[0]
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        cw1x_ref[:] = cw1x
+        cw1t_ref[:] = cw1t
+        cb1_ref[:] = cb1
+        cw2h_ref[:] = cw2h
+        cw2t_ref[:] = cw2t
+        cb2_ref[:] = cb2
+        ct_ref[0, 0] = ct_t
+        cdt_ref[0, 0] = ct_dt
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        cw1x_ref[:] = cw1x_ref[:] + cw1x
+        cw1t_ref[:] = cw1t_ref[:] + cw1t
+        cb1_ref[:] = cb1_ref[:] + cb1
+        cw2h_ref[:] = cw2h_ref[:] + cw2h
+        cw2t_ref[:] = cw2t_ref[:] + cw2t
+        cb2_ref[:] = cb2_ref[:] + cb2
+        ct_ref[0, 0] = ct_ref[0, 0] + ct_t
+        cdt_ref[0, 0] = cdt_ref[0, 0] + ct_dt
+
+
+def _pallas_bwd(t, dt, y, k1, parts, cotangents, block_batch: int = 128):
+    batch, dim = y.shape
+    bt = _pick_block(batch, block_batch)
+    grid = (pl.cdiv(batch, bt),)
+    w1x, w1t, b1, w2h, w2t, b2 = parts
+    hidden = w1x.shape[1]
+    cyn, ck7, cerr, ck6, cg6 = cotangents
+
+    t2 = jnp.reshape(t.astype(jnp.float32), (1, 1))
+    dt2 = jnp.reshape(dt.astype(jnp.float32), (1, 1))
+
+    row_spec = pl.BlockSpec((bt, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        _fused_bwd_kernel,
+        grid=grid,
+        in_specs=[
+            smem_scalar, smem_scalar,
+            row_spec, row_spec,
+            full((dim, hidden)), full((1, hidden)), full((1, hidden)),
+            full((hidden, dim)), full((1, dim)), full((1, dim)),
+            row_spec, row_spec, row_spec, row_spec, row_spec,
+        ],
+        out_specs=[
+            row_spec, row_spec,
+            full((dim, hidden)), full((1, hidden)), full((1, hidden)),
+            full((hidden, dim)), full((1, dim)), full((1, dim)),
+            smem_scalar, smem_scalar,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, dim), y.dtype),
+            jax.ShapeDtypeStruct((batch, dim), y.dtype),
+            jax.ShapeDtypeStruct((dim, hidden), f32),
+            jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((1, hidden), f32),
+            jax.ShapeDtypeStruct((hidden, dim), f32),
+            jax.ShapeDtypeStruct((1, dim), f32),
+            jax.ShapeDtypeStruct((1, dim), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+            jax.ShapeDtypeStruct((1, 1), f32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(t2, dt2, y, k1, w1x, w1t, b1, w2h, w2t, b2, cyn, ck7, cerr, ck6, cg6)
+
+    cy, ck1, cw1x, cw1t, cb1, cw2h, cw2t, cb2, ct_t, ct_dt = out
+    ct_t = ct_t[0, 0].astype(jnp.result_type(t))
+    ct_dt = ct_dt[0, 0].astype(jnp.result_type(dt))
+    # Match the original params structure: biases were lifted to (1, X).
+    cparts = (cw1x, cw1t, cb1, cw2h, cw2t, cb2)
+    return ct_t, ct_dt, cy, ck1, cparts
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _fused_step(t, dt, y, k1, parts):
     return _pallas_sweep(t, dt, y, k1, parts)
@@ -173,8 +375,7 @@ def _fused_step_fwd(t, dt, y, k1, parts):
 
 def _fused_step_bwd(residuals, cotangents):
     t, dt, y, k1, parts = residuals
-    _, vjp_fn = jax.vjp(_reference_sweep, t, dt, y, k1, parts)
-    return vjp_fn(cotangents)
+    return _pallas_bwd(t, dt, y, k1, parts, cotangents)
 
 
 _fused_step.defvjp(_fused_step_fwd, _fused_step_bwd)

@@ -8,7 +8,7 @@ running means of the recorded components.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 
 class AverageMeter:

@@ -10,7 +10,6 @@ scan/while path equivalence.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from regneuralde_tpu.ops import odeint
 

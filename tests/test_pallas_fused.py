@@ -75,6 +75,33 @@ class TestFusedKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=1e-5)
 
+    def test_bwd_kernel_matches_jax_vjp(self):
+        # Direct check of the hand-written backward kernel against
+        # jax.vjp of the reference sweep, for every input cotangent slot.
+        from regneuralde_tpu.ops.pallas_mlp import _fused_step
+
+        _, f, y, p, k1 = _setup(batch=6, dim=10, hidden=7)
+        parts = _split_params(p)
+        t = jnp.asarray(0.2)
+        dt = jnp.asarray(0.07)
+        cts = tuple(
+            jax.random.normal(jax.random.PRNGKey(10 + i), (6, 10))
+            for i in range(5)
+        )
+        _, vjp_ref = jax.vjp(_reference_sweep, t, dt, y, k1, parts)
+        ref = vjp_ref(cts)
+        _, vjp_fus = jax.vjp(_fused_step, t, dt, y, k1, parts)
+        fus = vjp_fus(cts)
+        for a, b, name in zip(
+            jax.tree_util.tree_leaves(fus),
+            jax.tree_util.tree_leaves(ref),
+            ["t", "dt", "y", "k1", "w1x", "w1t", "b1", "w2h", "w2t", "b2"],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5,
+                err_msg=name,
+            )
+
     def test_neural_ode_fused_flag(self):
         m = MLPDynamics(dim=16, hidden=12)
         node = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=64, fused=True)

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from regneuralde_tpu.ops import odeint, sdeint
+from regneuralde_tpu.ops import sdeint
 
 
 def gbm_drift(t, y, args):
