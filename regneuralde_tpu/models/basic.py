@@ -13,7 +13,7 @@ TPU-first equivalents of the reference's Flux modules:
   (reference: src/models/basic.jl:43-58).
 * ``LatentGRU`` — the masked GRU-Bayes cell run backwards in time over
   irregular observations (reference: experiments/latent_ode.jl:39-99),
-  implemented as a ``lax.scan``.
+  implemented as an ``nn.scan`` over a cell module.
 
 Array convention: JAX-native batch-major ``(batch, features)`` (the
 reference is Julia column-major ``(features, batch)`` — transposed, same

@@ -10,10 +10,13 @@ activations, and the regrouped embedded-error combination — in one
 VMEM-resident pass per batch tile (one HBM read of y/k1/weights, one write
 of the five outputs).
 
-Gradients: the kernel carries a ``jax.custom_vjp`` whose backward pass
-differentiates an algebraically identical plain-XLA recompute — forward
-speed from Pallas, reverse-mode correctness from XLA autodiff (the two
-paths agree to float32 rounding).
+Gradients: the kernel carries a ``jax.custom_vjp`` whose backward pass is
+a second fused Pallas kernel — it recomputes the six stages in VMEM and
+runs the reverse chain (transposed contractions, tanh derivatives,
+stage-lincomb transposes, scalar (t, dt) reductions) in the same pass,
+accumulating weight cotangents across batch tiles. A plain-XLA
+``_reference_sweep`` of identical algebra is kept for interpret-mode tests
+and as the correctness oracle.
 
 Outputs (matching the solver's ``stage_sweep`` contract in ``ops.ode``):
   (y_new, k7, err, k6, g6)
