@@ -12,6 +12,7 @@ resume, and optional data-parallel execution over a device mesh.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -24,6 +25,11 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir",
                   str(Path.home() / ".cache" / "regneuralde_tpu_xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+# Platform override for CI/smoke runs (the sandbox's TPU plugin forces
+# jax_platforms via config, so an env var alone is not enough).
+if os.environ.get("REGNDE_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["REGNDE_PLATFORM"])
 
 # Allow running as `python experiments/<name>.py` from the repo root.
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))

@@ -24,7 +24,7 @@ Construct models with ``axis_name=AXIS`` (or pass ``axis_name`` to
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -108,8 +108,6 @@ def make_dp_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, step + 1, loss, aux
-
-    n_extra = None  # resolved per call below
 
     @partial(jax.jit, donate_argnums=(0,))
     def step_jit(state: TrainState, *batch):
