@@ -62,7 +62,9 @@ class TDChain(nn.Module):
 class MLPDynamics(nn.Module):
     """The MNIST Neural-ODE dynamics: 784 -> (+t) 100 tanh -> (+t) 784 tanh.
 
-    Reference: experiments/mnist_node.jl:41-54.
+    Reference: experiments/mnist_node.jl:41-54. Uses ``ops.math.tanh``:
+    TPU's native tanh approximation (~4e-5 abs error) would floor the
+    solver's embedded error estimate at tight tolerances.
     """
 
     dim: int = 784
@@ -70,9 +72,11 @@ class MLPDynamics(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t) -> jnp.ndarray:
-        h = jnp.tanh(nn.Dense(self.hidden, name="dense_1")(
+        from regneuralde_tpu.ops.math import tanh
+
+        h = tanh(nn.Dense(self.hidden, name="dense_1")(
             jnp.concatenate([x, _t_row(x, t)], -1)))
-        return jnp.tanh(nn.Dense(self.dim, name="dense_2")(
+        return tanh(nn.Dense(self.dim, name="dense_2")(
             jnp.concatenate([h, _t_row(h, t)], -1)))
 
 

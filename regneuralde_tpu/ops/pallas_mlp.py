@@ -34,21 +34,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from regneuralde_tpu.ops.math import tanh as _tanh
 from regneuralde_tpu.ops.tableaus import TSIT5
 
 
 def _mlp_k(yi, ti, w1x, w1t, b1, w2h, w2t, b2):
     """k = tanh( [tanh([yi, ti] @ W1 + b1), ti] @ W2 + b2 ) with the time
     row folded into rank-1 updates (w1t/w2t are the t-rows of the concat
-    kernels)."""
+    kernels). Uses the accurate exp-based tanh (ops.math) — the native TPU
+    tanh approximation would floor the embedded error estimate."""
     pre1 = (
         jnp.dot(yi, w1x, preferred_element_type=jnp.float32) + ti * w1t + b1
     )
-    h = jnp.tanh(pre1)
+    h = _tanh(pre1)
     pre2 = (
         jnp.dot(h, w2h, preferred_element_type=jnp.float32) + ti * w2t + b2
     )
-    return jnp.tanh(pre2)
+    return _tanh(pre2)
 
 
 def _fused_step_kernel(
@@ -212,9 +214,9 @@ def _fused_bwd_kernel(
         yi = y + dt * acc
         ti = t + tab.c[i] * dt
         pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32) + ti * w1t + b1
-        h = jnp.tanh(pre1)
+        h = _tanh(pre1)
         pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32) + ti * w2t + b2
-        ks.append(jnp.tanh(pre2))
+        ks.append(_tanh(pre2))
         yis.append(yi)
         hs.append(h)
 
@@ -367,6 +369,17 @@ def _pallas_bwd(t, dt, y, k1, parts, cotangents, block_batch: int = 128):
     return ct_t, ct_dt, cy, ck1, cparts
 
 
+# Backward selection. The Pallas backward kernel matches jax.vjp of the
+# reference sweep exactly in isolation (see tests) and in hand-built
+# scan/cond/checkpoint/controller chains, but inside the full adaptive
+# solve at tolerances <=1e-6 the end-to-end gradient diverges
+# exponentially with step count (inf by ~40 steps) — root cause not yet
+# isolated. Until it is, the default backward differentiates the
+# algebraically identical plain-XLA recompute (costs ~5% end-to-end);
+# flip USE_PALLAS_BWD to re-enable the kernel when debugging.
+USE_PALLAS_BWD = False
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def _fused_step(t, dt, y, k1, parts):
     return _pallas_sweep(t, dt, y, k1, parts)
@@ -378,7 +391,10 @@ def _fused_step_fwd(t, dt, y, k1, parts):
 
 def _fused_step_bwd(residuals, cotangents):
     t, dt, y, k1, parts = residuals
-    return _pallas_bwd(t, dt, y, k1, parts, cotangents)
+    if USE_PALLAS_BWD:
+        return _pallas_bwd(t, dt, y, k1, parts, cotangents)
+    _, vjp_fn = jax.vjp(_reference_sweep, t, dt, y, k1, parts)
+    return vjp_fn(cotangents)
 
 
 _fused_step.defvjp(_fused_step_fwd, _fused_step_bwd)

@@ -103,13 +103,16 @@ class TestFusedKernel:
             )
 
     def test_neural_ode_fused_flag(self):
+        # fused applies on the non-differentiated while path (see
+        # neural_ode.py: the differentiable scan path stays generic until
+        # the custom-vjp-in-solve gradient divergence is root-caused).
         m = MLPDynamics(dim=16, hidden=12)
         node = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=64, fused=True)
         x = jax.random.normal(KEY, (8, 16)) * 0.5
         params = node.init(KEY, x)
-        out_f = node(params, x)
+        out_f = node(params, x, mode="while")
         node_plain = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=64)
-        out_p = node_plain(params, x)
+        out_p = node_plain(params, x, mode="while")
         assert int(out_f.nfe) == int(out_p.nfe)
         np.testing.assert_allclose(np.asarray(out_f.value),
                                    np.asarray(out_p.value), rtol=1e-4,
