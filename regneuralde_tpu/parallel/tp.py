@@ -78,12 +78,14 @@ def tp_mlp_dynamics(t, y, parts: TPMLPParams, model_axis: str = "model"):
     one psum over the model axis, bias/time-row of layer 2 added once after
     the reduction.
     """
+    from regneuralde_tpu.ops.math import tanh
+
     t = jnp.asarray(t, y.dtype)
-    h = jnp.tanh(
+    h = tanh(
         jnp.dot(y, parts.w1x, preferred_element_type=jnp.float32)
         + t * parts.w1t
         + parts.b1
     )
     partial = jnp.dot(h, parts.w2h, preferred_element_type=jnp.float32)
     out = lax.psum(partial, model_axis) + t * parts.w2t + parts.b2
-    return jnp.tanh(out)
+    return tanh(out)
