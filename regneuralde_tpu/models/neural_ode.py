@@ -108,12 +108,7 @@ class NeuralODE:
         t0, t1 = tspan if tspan is not None else self.tspan
         saveat = saveat if saveat is not None else self.saveat
         stage_sweep = None
-        # Fused kernels currently serve the non-differentiated fast path
-        # only: gradients through the custom-vjp step diverge inside the
-        # full adaptive solve at tight tolerances (root cause under
-        # investigation — see ops/pallas_mlp.py); the differentiable scan
-        # path uses the generic XLA sweep.
-        if self.fused and mode == "while":
+        if self.fused:
             from regneuralde_tpu.ops.pallas_mlp import mlp_dynamics_stage_sweep
 
             stage_sweep = lambda t, dt, y, f0, p: mlp_dynamics_stage_sweep(

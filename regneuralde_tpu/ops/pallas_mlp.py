@@ -44,11 +44,13 @@ def _mlp_k(yi, ti, w1x, w1t, b1, w2h, w2t, b2):
     kernels). Uses the accurate exp-based tanh (ops.math) — the native TPU
     tanh approximation would floor the embedded error estimate."""
     pre1 = (
-        jnp.dot(yi, w1x, preferred_element_type=jnp.float32) + ti * w1t + b1
+        jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + ti * w1t + b1
     )
     h = _tanh(pre1)
     pre2 = (
-        jnp.dot(h, w2h, preferred_element_type=jnp.float32) + ti * w2t + b2
+        jnp.dot(h, w2h, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + ti * w2t + b2
     )
     return _tanh(pre2)
 
@@ -213,9 +215,11 @@ def _fused_bwd_kernel(
                 acc = acc + c * k
         yi = y + dt * acc
         ti = t + tab.c[i] * dt
-        pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32) + ti * w1t + b1
+        pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + ti * w1t + b1
         h = _tanh(pre1)
-        pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32) + ti * w2t + b2
+        pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + ti * w2t + b2
         ks.append(_tanh(pre2))
         yis.append(yi)
         hs.append(h)
@@ -251,7 +255,8 @@ def _fused_bwd_kernel(
 
         ct_pre2 = ct_ks[i] * (1.0 - k_i * k_i)
         cw2h = cw2h + jax.lax.dot_general(
-            h_i, ct_pre2, contract_batch, preferred_element_type=jnp.float32
+            h_i, ct_pre2, contract_batch, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         rows2 = jnp.sum(ct_pre2, axis=0, keepdims=True)
         cw2t = cw2t + ti * rows2
@@ -261,10 +266,12 @@ def _fused_bwd_kernel(
         ct_h = jax.lax.dot_general(
             ct_pre2, w2h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         ct_pre1 = ct_h * (1.0 - h_i * h_i)
         cw1x = cw1x + jax.lax.dot_general(
-            yi, ct_pre1, contract_batch, preferred_element_type=jnp.float32
+            yi, ct_pre1, contract_batch, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         rows1 = jnp.sum(ct_pre1, axis=0, keepdims=True)
         cw1t = cw1t + ti * rows1
@@ -274,6 +281,7 @@ def _fused_bwd_kernel(
         ct_yi = ct_yi_seed.get(i, 0.0) + jax.lax.dot_general(
             ct_pre1, w1x, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         ct_y = ct_y + ct_yi
         acc = tab.a[i - 1][0] * ks[0]
@@ -314,7 +322,10 @@ def _fused_bwd_kernel(
         cdt_ref[0, 0] = cdt_ref[0, 0] + ct_dt
 
 
-def _pallas_bwd(t, dt, y, k1, parts, cotangents, block_batch: int = 128):
+def _pallas_bwd(t, dt, y, k1, parts, cotangents, block_batch: int = 64):
+    # Smaller tiles than the forward: the backward keeps the stage stacks
+    # (6 yi + 7 k) AND five cotangent blocks live in VMEM — 128-row tiles
+    # exceed the 16MB scoped limit at dim=784.
     batch, dim = y.shape
     bt = _pick_block(batch, block_batch)
     grid = (pl.cdiv(batch, bt),)
@@ -369,15 +380,18 @@ def _pallas_bwd(t, dt, y, k1, parts, cotangents, block_batch: int = 128):
     return ct_t, ct_dt, cy, ck1, cparts
 
 
-# Backward selection. The Pallas backward kernel matches jax.vjp of the
-# reference sweep exactly in isolation (see tests) and in hand-built
-# scan/cond/checkpoint/controller chains, but inside the full adaptive
-# solve at tolerances <=1e-6 the end-to-end gradient diverges
-# exponentially with step count (inf by ~40 steps) — root cause not yet
-# isolated. Until it is, the default backward differentiates the
-# algebraically identical plain-XLA recompute (costs ~5% end-to-end);
-# flip USE_PALLAS_BWD to re-enable the kernel when debugging.
-USE_PALLAS_BWD = False
+# PRECISION IS LOAD-BEARING in the backward. A custom_vjp's bwd function
+# is traced lazily during backward-pass construction — OUTSIDE any
+# `jax.default_matmul_precision` context that wrapped the forward solve —
+# so contractions traced there would silently run at the TPU's bf16
+# default. That rounding noise, amplified by 1/tol (~7e7 at rtol=1.4e-8)
+# through the controller's dt feedback, made end-to-end solve gradients
+# diverge exponentially with step count (inf by ~40 steps). The plain-XLA
+# path was immune because transposed dots inherit the forward op's baked
+# precision attribute. Hence: every contraction in this module carries an
+# explicit `precision=HIGHEST`, and the XLA-recompute backward is traced
+# under the context as well.
+USE_PALLAS_BWD = True
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -393,8 +407,9 @@ def _fused_step_bwd(residuals, cotangents):
     t, dt, y, k1, parts = residuals
     if USE_PALLAS_BWD:
         return _pallas_bwd(t, dt, y, k1, parts, cotangents)
-    _, vjp_fn = jax.vjp(_reference_sweep, t, dt, y, k1, parts)
-    return vjp_fn(cotangents)
+    with jax.default_matmul_precision("highest"):
+        _, vjp_fn = jax.vjp(_reference_sweep, t, dt, y, k1, parts)
+        return vjp_fn(cotangents)
 
 
 _fused_step.defvjp(_fused_step_fwd, _fused_step_bwd)
