@@ -87,6 +87,57 @@ def setup(args, experiment: str):
     return cfg, h, run_dir
 
 
+def guarded_train_step(loss_fn, optimizer):
+    """Jitted train step with the NaN guard enabled: non-finite gradients
+    skip the whole update (params AND optimizer state) instead of
+    poisoning the run — the enabled version of the reference's
+    commented-out NaN abort (src/utils.jl:152). aux gains
+    ``grads_finite``."""
+    from regneuralde_tpu.training import make_train_step
+
+    return make_train_step(loss_fn, optimizer, has_aux=True, nan_guard=True)
+
+
+class HealthMonitor:
+    """Surfaces the reference's silent failure modes: truncated solves
+    (``stats.success`` is never checked anywhere in the reference) and
+    non-finite gradients (src/utils.jl:152 is commented out). Feed each
+    train-step aux dict; warns on first occurrence and accumulates counts
+    for results.yml."""
+
+    def __init__(self, name: str = "train"):
+        self.name = name
+        self.cap_hits = 0
+        self.nan_skips = 0
+        self.steps = 0
+
+    def update(self, aux: dict):
+        self.steps += 1
+        ok = aux.get("success")
+        # success may be a bool scalar or (under DP pmean) a float in
+        # [0, 1]; anything below 1.0 means some solve was truncated.
+        if ok is not None and float(ok) < 1.0:
+            self.cap_hits += 1
+            if self.cap_hits == 1:
+                print(f"WARNING [{self.name}]: solver hit the max_steps cap "
+                      f"(truncated integration) at train step {self.steps}")
+        gf = aux.get("grads_finite")
+        if gf is not None and not bool(gf):
+            self.nan_skips += 1
+            if self.nan_skips == 1:
+                print(f"WARNING [{self.name}]: non-finite gradients — update "
+                      f"skipped at train step {self.steps}")
+
+    def results(self) -> dict:
+        if self.cap_hits or self.nan_skips:
+            print(f"[{self.name}] health: {self.cap_hits} solver-cap hits, "
+                  f"{self.nan_skips} NaN-skipped updates "
+                  f"over {self.steps} steps")
+        return {"solver_cap_hits": self.cap_hits,
+                "nan_skipped_steps": self.nan_skips,
+                "train_steps": self.steps}
+
+
 class Timer:
     def __enter__(self):
         self.t0 = time.time()

@@ -1,19 +1,16 @@
 """Shared FFJORD experiment loop (gaussian + tabular share everything but
 data, sizes, and hyperparameters — as in the reference scripts)."""
 
-import functools
 import time
 
 import jax
 import jax.numpy as jnp
-import optax
 
-from common import Timer, block, finish
+from common import HealthMonitor, Timer, block, finish, guarded_train_step
 from regneuralde_tpu import reg
 from regneuralde_tpu.models import CSLDynamics, FFJORD
 from regneuralde_tpu.training import (
     Checkpointer,
-    TrainState,
     create_train_state,
     ffjord_optimizer,
 )
@@ -46,16 +43,11 @@ def run_ffjord_experiment(args, h, run_dir, seed, train_loader, test_loader,
         out = ff(params, x, key)
         nll = -jnp.mean(out.logpx)
         r = reg.error_estimate(out.telemetry, agg="mean") if regularize else 0.0
-        return nll + lam * r, {"nll": nll, "reg": r, "nfe": out.nfe}
+        return nll + lam * r, {
+            "nll": nll, "reg": r, "nfe": out.nfe,
+            "success": jnp.asarray(out.solution.stats.success, jnp.float32)}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, x, key, lam):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x, key, lam)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss, aux
+    train_step = guarded_train_step(loss_fn, optimizer)
 
     @jax.jit
     def infer(params, x, key):
@@ -74,6 +66,7 @@ def run_ffjord_experiment(args, h, run_dir, seed, train_loader, test_loader,
     )
     ckpt = Checkpointer(run_dir / "ckpt", save_every=10)
     state = create_train_state(params, optimizer)
+    health = HealthMonitor("ffjord")
 
     nfe_counts, train_lls, test_lls = [], [], []
     train_times, infer_times = [], []
@@ -100,6 +93,7 @@ def run_ffjord_experiment(args, h, run_dir, seed, train_loader, test_loader,
             state, loss, aux = train_step(state, jnp.asarray(x), sk, lam)
             block(loss)
             timing += time.time() - t0
+            health.update(aux)
             logger(False, {"Total Loss": float(loss),
                            "Neg Log Likelihood": float(aux["nll"]),
                            "Regularization": float(aux["reg"])})
@@ -136,6 +130,7 @@ def run_ffjord_experiment(args, h, run_dir, seed, train_loader, test_loader,
         "train_runtimes": train_times,
         "inference_runtimes": infer_times,
         "sampling_time": sampling_time,
+        **health.results(),
     }, params=state.params)
     ckpt.close()
     return state

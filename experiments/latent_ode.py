@@ -16,10 +16,8 @@ import time
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
-import optax
-
-from common import Timer, block, finish, parse_args, setup
+from common import (HealthMonitor, Timer, block, finish, guarded_train_step,
+                    parse_args, setup)
 from regneuralde_tpu import reg
 from regneuralde_tpu.data import load_physionet
 from regneuralde_tpu.models import (
@@ -32,7 +30,6 @@ from regneuralde_tpu.models import (
 from regneuralde_tpu.ops.tableaus import TSIT5
 from regneuralde_tpu.training import (
     Checkpointer,
-    TrainState,
     create_train_state,
     latent_ode_optimizer,
 )
@@ -125,17 +122,10 @@ def main():
         r = reg_fn(out.telemetry) if regularize else 0.0
         loss = -jnp.mean(ll - kl) + lam_r * r
         return loss, {"nll": -jnp.mean(ll), "kl": jnp.mean(kl), "reg": r,
-                      "nfe": out.nfe}
+                      "nfe": out.nfe,
+                      "success": jnp.asarray(out.success, jnp.float32)}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, data, mask, tp, key, lam_r, lam_k,
-                   saveat_):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, data, mask, tp, key, lam_r, lam_k, saveat_)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss, aux
+    train_step = guarded_train_step(loss_fn, optimizer)
 
     @jax.jit
     def eval_batch(params, data, mask, tp, key):
@@ -166,6 +156,7 @@ def main():
     )
     ckpt = Checkpointer(run_dir / "ckpt", save_every=10)
     state = create_train_state(params, optimizer)
+    health = HealthMonitor("latent_ode")
 
     nfe_counts, train_losses, test_losses = [], [], []
     train_times, infer_times = [], []
@@ -197,6 +188,7 @@ def main():
                 lam_r, lam_k, sa)
             block(loss)
             timing += time.time() - t0
+            health.update(aux)
             logger(False, {"Total Loss": float(loss),
                            "Neg Log Likelihood": float(aux["nll"]),
                            "KL Divergence": float(aux["kl"]),
@@ -221,6 +213,7 @@ def main():
         "test_loss": test_losses,
         "train_runtimes": train_times,
         "inference_runtimes": infer_times,
+        **health.results(),
     }, params=state.params)
     ckpt.close()
 

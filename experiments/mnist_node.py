@@ -28,10 +28,10 @@ import time
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
-from common import Timer, block, finish, parse_args, setup
+from common import (HealthMonitor, Timer, block, finish, guarded_train_step,
+                    parse_args, setup)
 from regneuralde_tpu import reg
 from regneuralde_tpu.data import load_mnist
 from regneuralde_tpu.models import ClassifierNODE, MLPDynamics, NeuralODE
@@ -106,26 +106,20 @@ def main():
         out = clf(params, x, tspan=(0.0, t1))
         ce = optax.softmax_cross_entropy(out.logits, y).mean()
         r = reg_fn(out.telemetry) if regularize else 0.0
-        return ce + lam * r, {"ce": ce, "reg": r, "nfe": out.nfe}
+        return ce + lam * r, {"ce": ce, "reg": r, "nfe": out.nfe,
+                              "success": jnp.asarray(out.success, jnp.float32)}
 
     if args.data_parallel:
         from regneuralde_tpu import parallel as par
 
         mesh = par.make_mesh(args.data_parallel)
-        train_step = par.make_dp_train_step(loss_fn, optimizer, mesh)
+        train_step = par.make_dp_train_step(loss_fn, optimizer, mesh,
+                                            nan_guard=True)
         state = TrainState(par.replicate(mesh, params),
                            par.replicate(mesh, optimizer.init(params)), 0)
         prep = lambda *b: tuple(par.shard_batch(mesh, x) for x in b)
     else:
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, x, y, lam, t1):
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, x, y, lam, t1)
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.params)
-            params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), loss, aux
-
+        train_step = guarded_train_step(loss_fn, optimizer)
         state = create_train_state(params, optimizer)
         prep = lambda *b: b
 
@@ -143,6 +137,7 @@ def main():
         ["Total Loss", "Cross Entropy", "Regularization"],
     )
     ckpt = Checkpointer(run_dir / "ckpt", save_every=5)
+    health = HealthMonitor("mnist_node")
 
     start_epoch = 1
     if args.resume_from:
@@ -197,6 +192,7 @@ def main():
             state, loss, aux = train_step(state, xb, yb, lam, t1)
             block(loss)
             timing += time.time() - t0
+            health.update(aux)
             logger(False, {"Total Loss": float(loss),
                            "Cross Entropy": float(aux["ce"]),
                            "Regularization": float(aux["reg"])})
@@ -219,6 +215,7 @@ def main():
         "test_accuracies": test_accs,
         "train_runtimes": train_times,
         "inference_runtimes": infer_times,
+        **health.results(),
     }, params=state.params)
     ckpt.close()
 

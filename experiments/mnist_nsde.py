@@ -17,13 +17,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from common import Timer, block, finish, parse_args, setup
+from common import (HealthMonitor, Timer, block, finish, guarded_train_step,
+                    parse_args, setup)
 from regneuralde_tpu import reg
 from regneuralde_tpu.data import load_mnist
 from regneuralde_tpu.models import MLP, ClassifierNSDE, NeuralSDE
 from regneuralde_tpu.training import (
     Checkpointer,
-    TrainState,
     create_train_state,
     mnist_nsde_optimizer,
 )
@@ -78,16 +78,10 @@ def main():
         ce = optax.softmax_cross_entropy(out.logits, y).mean()
         r = reg_fn(out.telemetry) if regularize else 0.0
         return ce + lam * r, {"ce": ce, "reg": r,
-                              "nfe1": out.nfe1, "nfe2": out.nfe2}
+                              "nfe1": out.nfe1, "nfe2": out.nfe2,
+                              "success": jnp.asarray(out.success, jnp.float32)}
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, x, y, key, lam):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, x, y, key, lam)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss, aux
+    train_step = guarded_train_step(loss_fn, optimizer)
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def infer(params, x, key, trajectories=10):
@@ -107,6 +101,7 @@ def main():
     )
     ckpt = Checkpointer(run_dir / "ckpt", save_every=5)
     state = create_train_state(params, optimizer)
+    health = HealthMonitor("mnist_nsde")
 
     nfe1s, nfe2s, train_accs, test_accs = [], [], [], []
     train_times, infer_times = [], []
@@ -134,6 +129,7 @@ def main():
                                           jnp.asarray(y), sk, lam)
             block(loss)
             timing += time.time() - t0
+            health.update(aux)
             logger(False, {"Total Loss": float(loss),
                            "Cross Entropy": float(aux["ce"]),
                            "Regularization": float(aux["reg"])})
@@ -156,6 +152,7 @@ def main():
         "test_accuracies": test_accs,
         "train_runtimes": train_times,
         "inference_runtimes": infer_times,
+        **health.results(),
     }, params=state.params)
     ckpt.close()
 

@@ -11,20 +11,18 @@ the reference's @belapsed benchmark (:82). The ground truth is regenerated
 from a true SDE (the reference ships it as data/sde_demo.bson).
 """
 
-import functools
 import time
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
-
-from common import Timer, block, finish, parse_args, setup
+from common import (HealthMonitor, Timer, block, finish, guarded_train_step,
+                    parse_args, setup)
 from regneuralde_tpu import reg
 from regneuralde_tpu.data import make_sde_demo
 from regneuralde_tpu.models import NeuralSDE
-from regneuralde_tpu.training import TrainState, create_train_state, sde_toy_optimizer
+from regneuralde_tpu.training import create_train_state, sde_toy_optimizer
 
 
 class CubicDrift(nn.Module):
@@ -75,16 +73,10 @@ def main():
         return l2_means + l2_vars + r, {
             "l2_means": l2_means, "l2_vars": l2_vars, "reg": r,
             "nfe1": out.nfe1, "nfe2": out.nfe2,
+            "success": jnp.asarray(out.solution.stats.success, jnp.float32),
         }
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, key):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, key)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss, aux
+    train_step = guarded_train_step(loss_fn, optimizer)
 
     @jax.jit
     def predict(params, key):
@@ -92,6 +84,7 @@ def main():
         return out.value, out.nfe1, out.nfe2
 
     state = create_train_state(params, optimizer)
+    health = HealthMonitor("sde_toy")
     key = jax.random.PRNGKey(seed + 1)
     losses = []
     total_time = 0.0
@@ -101,6 +94,7 @@ def main():
         state, loss, aux = train_step(state, sk)
         block(loss)
         total_time += time.time() - t0
+        health.update(aux)
         losses.append(float(loss))
         if it % 50 == 0 or it == 1:
             print(f"iter {it:4d} loss={float(loss):.5f} "
@@ -127,6 +121,7 @@ def main():
         "nfe2": int(n2),
         "prediction_time": ptime,
         "train_time": total_time,
+        **health.results(),
     }, params=state.params)
 
 

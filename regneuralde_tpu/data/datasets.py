@@ -24,6 +24,47 @@ import numpy as np
 from regneuralde_tpu.data.loader import DataLoader
 
 
+def _native_enabled() -> bool:
+    """The C++ data runtime is the default; REGNDE_NATIVE_LOADER=0 opts
+    out (e.g. for debugging)."""
+    return os.environ.get("REGNDE_NATIVE_LOADER", "1") != "0"
+
+
+def _make_loader(arrays, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = False, seed: int = 0,
+                 source: str = "memory"):
+    """Build a minibatch loader, routing through the native C++
+    prefetch-ring loader (csrc/dataloader.cpp) when its shared library is
+    available; the pure-Python ``DataLoader`` is the fallback. Both follow
+    the same iteration protocol, so callers never care which they got
+    (``loader.source`` carries a ``[native]`` tag for observability)."""
+    arrays = tuple(np.asarray(a) for a in arrays)
+    if _native_enabled():
+        from regneuralde_tpu.data import native
+
+        if native.is_available():
+            try:
+                return native.NativeDataLoader(
+                    arrays, batch_size, shuffle=shuffle, drop_last=drop_last,
+                    seed=seed, source=source + " [native]")
+            except (RuntimeError, ValueError):
+                pass
+    return DataLoader(arrays, batch_size, shuffle=shuffle,
+                      drop_last=drop_last, seed=seed, source=source)
+
+
+def _load_npy(path: Path) -> np.ndarray:
+    """NPY read through the native parser when available (the reference
+    reads MiniBooNE via NPZ.jl, src/dataset.jl:40)."""
+    if _native_enabled():
+        from regneuralde_tpu.data import native
+
+        arr = native.load_npy(path) if native.is_available() else None
+        if arr is not None:
+            return arr
+    return np.load(path)
+
+
 def _search_file(name_options, data_dir: Optional[str]) -> Optional[Path]:
     roots = []
     if data_dir:
@@ -46,6 +87,12 @@ def _one_hot(labels: np.ndarray, num: int) -> np.ndarray:
 
 
 def _read_idx(path: Path) -> np.ndarray:
+    if path.suffix != ".gz" and _native_enabled():
+        from regneuralde_tpu.data import native
+
+        arr = native.load_idx(path) if native.is_available() else None
+        if arr is not None:
+            return arr
     opener = gzip.open if path.suffix == ".gz" else open
     with opener(path, "rb") as f:
         zero, dtype, ndim = struct.unpack(">HBB", f.read(4))
@@ -117,11 +164,11 @@ def load_mnist(
     if flatten:
         xtr = xtr.reshape(xtr.shape[0], -1)
         xte = xte.reshape(xte.shape[0], -1)
-    train = DataLoader(
+    train = _make_loader(
         (xtr, _one_hot(np.asarray(ytr), 10)), batch_size, shuffle=True,
         seed=seed, source=source,
     )
-    test = DataLoader(
+    test = _make_loader(
         (xte, _one_hot(np.asarray(yte), 10)), batch_size, shuffle=False,
         source=source,
     )
@@ -194,10 +241,10 @@ def load_physionet(
     ]
     train_arrays = [bundle[k][idx[:n_train]] for k in keys]
     test_arrays = [bundle[k][idx[n_train:]] for k in keys]
-    train = DataLoader(train_arrays, batch_size, shuffle=True, drop_last=True,
-                       seed=seed, source=source)
-    test = DataLoader(test_arrays, batch_size, shuffle=True, drop_last=True,
-                      seed=seed + 1, source=source)
+    train = _make_loader(train_arrays, batch_size, shuffle=True,
+                         drop_last=True, seed=seed, source=source)
+    test = _make_loader(test_arrays, batch_size, shuffle=True, drop_last=True,
+                        seed=seed + 1, source=source)
     return train, test
 
 
@@ -212,7 +259,7 @@ def load_miniboone(
         ["miniboone.npy"], None
     )
     if found is not None:
-        data = np.load(found).astype(np.float32)
+        data = _load_npy(found).astype(np.float32)
         if data.shape[0] == 43 and data.shape[1] != 43:
             data = data.T  # feature-major file -> sample-major
         source = str(found)
@@ -228,10 +275,10 @@ def load_miniboone(
     rng = np.random.default_rng(seed)
     idx = rng.permutation(data.shape[0])
     n_train = int(data.shape[0] * train_split)
-    train = DataLoader((data[idx[:n_train]],), batch_size, shuffle=True,
-                       seed=seed, source=source)
-    test = DataLoader((data[idx[n_train:]],), batch_size, shuffle=False,
-                      source=source)
+    train = _make_loader((data[idx[:n_train]],), batch_size, shuffle=True,
+                         seed=seed, source=source)
+    test = _make_loader((data[idx[n_train:]],), batch_size, shuffle=False,
+                        source=source)
     return train, test
 
 
@@ -277,10 +324,10 @@ def load_spiral2d(
     samp_tp = np.tile(samp_ts, (nspiral, 1))
     orig_tp = np.tile(orig_ts, (nspiral, 1))
 
-    train = DataLoader((sampled, samp_tp), batch_size, shuffle=True, seed=seed,
-                       source="synthetic")
-    test = DataLoader((original, orig_tp), batch_size, shuffle=True,
-                      seed=seed + 1, source="synthetic")
+    train = _make_loader((sampled, samp_tp), batch_size, shuffle=True,
+                         seed=seed, source="synthetic")
+    test = _make_loader((original, orig_tp), batch_size, shuffle=True,
+                        seed=seed + 1, source="synthetic")
     return train, test
 
 
@@ -307,10 +354,10 @@ def load_gaussian_mixture(
     X = np.concatenate(xs).astype(np.float32)
     idx = rng.permutation(X.shape[0])
     n_train = int(X.shape[0] * train_split)
-    train = DataLoader((X[idx[:n_train]],), batch_size, shuffle=True, seed=seed,
-                       source="synthetic")
-    test = DataLoader((X[idx[n_train:]],), batch_size, shuffle=False,
-                      source="synthetic")
+    train = _make_loader((X[idx[:n_train]],), batch_size, shuffle=True,
+                         seed=seed, source="synthetic")
+    test = _make_loader((X[idx[n_train:]],), batch_size, shuffle=False,
+                        source="synthetic")
     return train, test
 
 

@@ -24,6 +24,7 @@ class ClassifierNODEOutput(NamedTuple):
     logits: jnp.ndarray
     nfe: jnp.ndarray
     telemetry: StepTelemetry
+    success: jnp.ndarray  # solver reached t1 within max_steps
 
 
 class ClassifierNODE:
@@ -51,7 +52,10 @@ class ClassifierNODE:
         h = self.pre.apply(params["pre"], x) if self.pre is not None else x
         out = self.node(params["de"], h, **node_kwargs)
         logits = self.post.apply(params["post"], out.value)
-        return ClassifierNODEOutput(logits=logits, nfe=out.nfe, telemetry=out.telemetry)
+        return ClassifierNODEOutput(
+            logits=logits, nfe=out.nfe, telemetry=out.telemetry,
+            success=out.solution.stats.success,
+        )
 
 
 class ClassifierNSDEOutput(NamedTuple):
@@ -59,6 +63,7 @@ class ClassifierNSDEOutput(NamedTuple):
     nfe1: jnp.ndarray
     nfe2: jnp.ndarray
     telemetry: StepTelemetry
+    success: jnp.ndarray  # solver reached t1 within max_steps
 
 
 class ClassifierNSDE:
@@ -100,5 +105,6 @@ class ClassifierNSDE:
         z = self.post.apply(params["post"], out.value)
         z = jnp.mean(z.reshape((trajectories, bsize) + z.shape[1:]), axis=0)
         return ClassifierNSDEOutput(
-            logits=z, nfe1=out.nfe1, nfe2=out.nfe2, telemetry=out.telemetry
+            logits=z, nfe1=out.nfe1, nfe2=out.nfe2, telemetry=out.telemetry,
+            success=out.solution.stats.success,
         )

@@ -29,6 +29,7 @@ class LatentTimeSeriesOutput(NamedTuple):
     logvar: jnp.ndarray
     nfe: jnp.ndarray
     telemetry: StepTelemetry
+    success: jnp.ndarray  # solver reached t1 within max_steps
 
 
 class LatentTimeSeriesModel:
@@ -90,4 +91,5 @@ class LatentTimeSeriesModel:
             logvar=logvar,
             nfe=node_out.nfe,
             telemetry=node_out.telemetry,
+            success=node_out.solution.stats.success,
         )

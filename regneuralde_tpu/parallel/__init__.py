@@ -77,6 +77,7 @@ def make_dp_train_step(
     mesh: Mesh,
     axis: str = AXIS,
     has_aux: bool = True,
+    nan_guard: bool = False,
 ):
     """Data-parallel ``(state, *batch) -> (state, loss, aux)`` under jit.
 
@@ -105,9 +106,24 @@ def make_dp_train_step(
     def shard_fn(params, opt_state, step, *batch):
         (loss, aux), grads = grad_fn(params, *batch)
         aux = jax.tree_util.tree_map(lambda a: lax.pmean(a, axis), aux)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, step + 1, loss, aux
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if nan_guard:
+            # Grads are identical on every shard (pmean'd loss), so the
+            # guard decision is globally consistent without a collective.
+            finite = jnp.all(jnp.stack([
+                jnp.all(jnp.isfinite(g))
+                for g in jax.tree_util.tree_leaves(grads)
+            ]))
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old),
+                new_params, params)
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old),
+                new_opt_state, opt_state)
+            if isinstance(aux, dict):
+                aux = dict(aux, grads_finite=finite)
+        return new_params, new_opt_state, step + 1, loss, aux
 
     @partial(jax.jit, donate_argnums=(0,))
     def step_jit(state: TrainState, *batch):
