@@ -53,7 +53,7 @@ def main():
         CubicDrift(),
         nn.Dense(2),
         tspan=(0.0, 1.0 + np.finfo(np.float32).eps),
-        solver="sriw1",
+        solver="sosri",
         rtol=3e-1,
         atol=3e-1,
         max_steps=max_steps,

@@ -46,7 +46,7 @@ class NeuralSDE:
         diffusion: nn.Module,
         tspan: Tuple[float, float] = (0.0, 1.0),
         time_dep: bool = False,
-        solver: str = "sriw1",
+        solver: str = "sosri",
         rtol: float = 1.4e-1,
         atol: float = 1.4e-1,
         max_steps: int = 256,

@@ -8,12 +8,13 @@ manual closure counters (reference: src/models/neural_sde.jl:44-114,
 experiments/mnist_nsde.jl:45-65). This module provides the TPU-native
 equivalents:
 
-* ``solver="sriw1"``: Rößler's SRIW1 tableau (strong order 1.5 for
-  diagonal noise), with a natural-embedding error estimate in the spirit of
-  Rackauckas & Nie (2017): the deterministic component is the embedded
-  Euler error of the order-2 Ralston drift pair, the stochastic component
-  is the magnitude of the higher-order noise-correction terms (the
-  ``beta3/beta4`` rows, which sum to zero and vanish for additive noise).
+* ``solver="sosri" | "sosri2" | "sriw1"``: tableau-driven SRI methods
+  (strong order 1.5, diagonal noise) from ``ops.sri`` — the
+  stability-optimized SOSRI-TPU/SOSRI2-TPU tableaus (derived in
+  tools/derive_sosri.py; the counterparts of StochasticDiffEq's
+  SOSRI/SOSRI2) and Rößler's SRIW1 — with the natural-embedding error
+  estimate (Rackauckas & Nie 2017) ``E = delta*dt*sum(e_drift_i f_i) +
+  (I10/dt)*sum(e_noise_i g_i)`` driving a PI step controller.
 * ``solver="em"``: fixed-step Euler-Maruyama over a uniform grid of
   ``max_steps`` steps (the baseline / test method).
 * **Brownian path under rejection**: a counter-based (split-per-step) RNG
@@ -23,8 +24,9 @@ equivalents:
   carried forward. Nested-rejection interior points are collapsed into the
   remaining tail (an RSwM1-style simplification: interior values only ever
   entered rejected trial computations).
-* NFE accounting: SRIW1 costs 2 drift + 4 diffusion evaluations per trial
-  step (``nfe1``/``nfe2``, mirroring the reference's manual counters).
+* NFE accounting: per-trial-step drift/diffusion evaluation counts come
+  from the tableau's static stage analysis (``nfe1``/``nfe2``, mirroring
+  the reference's manual counters) — 2+4 for SRIW1, 4+4 for SOSRI-TPU.
 
 The solve is one bounded ``lax.scan`` with masks (differentiable — the
 discrete adjoint through accepted and rejected steps, like the reference's
@@ -48,6 +50,13 @@ from regneuralde_tpu.ops.norms import (
     tree_where,
 )
 from regneuralde_tpu.ops.ode import StepTelemetry
+from regneuralde_tpu.ops.sri import (
+    TABLEAUS,
+    diffusion_evals_per_step,
+    drift_evals_per_step,
+    get_tableau,
+    sri_step,
+)
 
 Pytree = Any
 
@@ -135,73 +144,6 @@ def _sample_increment(key, tail: _Tail, dt):
     return dw, dz, tail_acc, tail_rej
 
 
-def _sriw1_step(drift, diffusion, args, t, y, dt, dw, dz):
-    """One SRIW1 trial step (diagonal noise). Returns (y_new, err, f1, f2).
-
-    Tableau (Rößler 2010, SRI W1):
-      c0=[0,3/4,0,0]  c1=[0,1/4,1,1/4]
-      alpha=[1/3,2/3,0,0]
-      beta1=[-1,4/3,2/3,0] beta2=[-1,4/3,-1/3,0]
-      beta3=[2,-4/3,-2/3,0] beta4=[-2,5/3,-2/3,1]
-    Drift evaluations: f(t,u) and f(t+3dt/4, H0_2); the third drift stage
-    state is u at stage time t, so it reuses f1 (hence nfe1 += 2/step).
-    """
-    sqdt = jnp.sqrt(dt)
-    tmap = jax.tree_util.tree_map
-
-    i10_over_dt = tmap(lambda w, z: 0.5 * (w + z / _SQRT3), dw, dz)
-    i11_over_sqdt = tmap(lambda w: 0.5 * (w * w - dt) / sqdt, dw)
-    i111_over_dt = tmap(lambda w: (w * w * w - 3.0 * dt * w) / (6.0 * dt), dw)
-
-    f1 = drift(t, y, args)
-    g1 = diffusion(t, y, args)
-
-    # H0_2 = u + (3/4) dt f1 + (3/2) g1 * I10/dt
-    h02 = tmap(lambda u, f, g, i10: u + 0.75 * dt * f + 1.5 * g * i10, y, f1, g1, i10_over_dt)
-    f2 = drift(t + 0.75 * dt, h02, args)
-
-    # H1 stages
-    h12 = tmap(lambda u, f, g: u + 0.25 * dt * f + 0.5 * sqdt * g, y, f1, g1)
-    g2 = diffusion(t + 0.25 * dt, h12, args)
-    h13 = tmap(lambda u, f, g: u + dt * f - sqdt * g, y, f1, g1)
-    g3 = diffusion(t + dt, h13, args)
-    # A1 row 4 uses the third drift stage, whose state/time are (u, t) -> f1.
-    h14 = tmap(
-        lambda u, f, ga, gb, gc: u + 0.25 * dt * f + sqdt * (-5.0 * ga + 3.0 * gb + 0.5 * gc),
-        y, f1, g1, g2, g3,
-    )
-    g4 = diffusion(t + 0.25 * dt, h14, args)
-
-    def combine(u, f1l, f2l, g1l, g2l, g3l, g4l, i1l, i11l, i10l, i111l):
-        drift_part = dt * (f1l / 3.0 + 2.0 * f2l / 3.0)
-        noise = (
-            (-i1l - i11l + 2.0 * i10l - 2.0 * i111l) * g1l
-            + (4.0 / 3.0 * i1l + 4.0 / 3.0 * i11l - 4.0 / 3.0 * i10l + 5.0 / 3.0 * i111l) * g2l
-            + (2.0 / 3.0 * i1l - 1.0 / 3.0 * i11l - 2.0 / 3.0 * i10l - 2.0 / 3.0 * i111l) * g3l
-            + i111l * g4l
-        )
-        return u + drift_part + noise
-
-    y_new = tmap(
-        combine, y, f1, f2, g1, g2, g3, g4, dw, i11_over_sqdt, i10_over_dt, i111_over_dt
-    )
-
-    # Natural-embedding error: embedded-Euler drift error + magnitude of the
-    # higher-order noise-correction terms (beta3/beta4 rows).
-    def err_leaf(f1l, f2l, g1l, g2l, g3l, g4l, i10l, i111l):
-        e_d = (2.0 / 3.0) * dt * (f2l - f1l)
-        e_n = (
-            (2.0 * i10l - 2.0 * i111l) * g1l
-            + (-4.0 / 3.0 * i10l + 5.0 / 3.0 * i111l) * g2l
-            + (-2.0 / 3.0 * i10l - 2.0 / 3.0 * i111l) * g3l
-            + i111l * g4l
-        )
-        return e_d + e_n
-
-    err = tmap(err_leaf, f1, f2, g1, g2, g3, g4, i10_over_dt, i111_over_dt)
-    return y_new, err, f1, f2
-
-
 def sdeint(
     drift: Callable[[Any, Pytree, Any], Pytree],
     diffusion: Callable[[Any, Pytree, Any], Pytree],
@@ -211,7 +153,7 @@ def sdeint(
     args: Any = None,
     *,
     key: jax.Array,
-    solver: str = "sriw1",
+    solver: str = "sosri",
     rtol: float = 1e-2,
     atol: float = 1e-2,
     dt0: Optional[float] = None,
@@ -244,8 +186,11 @@ def sdeint(
     time_dtype = jnp.result_type(jnp.asarray(t0).dtype, jnp.float32)
     t0 = jnp.asarray(t0, time_dtype)
     t1 = jnp.asarray(t1, time_dtype)
-    if solver not in ("sriw1", "em"):
-        raise ValueError(f"unknown SDE solver {solver!r}; use 'sriw1' or 'em'")
+    if solver != "em" and solver not in TABLEAUS:
+        raise ValueError(
+            f"unknown SDE solver {solver!r}; use 'em' or one of "
+            f"{sorted(TABLEAUS)}"
+        )
 
     span = t1 - t0  # forward-time only for SDEs
     tdir = 1.0
@@ -272,6 +217,8 @@ def sdeint(
             drift, diffusion, y0, t0, t1, args, key, max_steps, saveat, ys_buf,
             time_dtype,
         )
+
+    tableau = get_tableau(solver)
 
     dt_init = jnp.asarray(dt0 if dt0 is not None else 0.01, time_dtype)
     dt_init = jnp.minimum(dt_init, span) if dt0 is None else dt_init
@@ -304,19 +251,24 @@ def sdeint(
         key_next, sub = jax.random.split(carry.key)
         dw, dz, tail_acc, tail_rej = _sample_increment(sub, carry.tail, dt_eff)
 
-        y_new, err, f1, f2 = _sriw1_step(drift, diffusion, args, t, y, dt_eff, dw, dz)
+        y_new, err, stage_info = sri_step(
+            tableau, drift, diffusion, args, t, y, dt_eff, dw, dz
+        )
         eest = error_ratio(err, y, y_new, rtol, atol, axis_name=axis_name)
         accept = eest <= 1.0
 
-        # Stiffness proxy: drift-stage derivative ratio (the analogue of the
-        # composite algorithms' eigen_est used by the reference's stiff_est
-        # regularizer, experiments/mnist_nsde.jl:51-61).
-        num = hairer_norm(tree_sub(f2, f1), axis_name=axis_name)
-        den = 0.75 * dt_eff * hairer_norm(f1, axis_name=axis_name)
+        # Stiffness estimate: dominant-eigenvalue proxy from the last two
+        # distinct drift stages, ||f_b - f_a|| / ||H0_b - H0_a|| — the
+        # shape OrdinaryDiffEq's composite algorithms use for eigen_est
+        # (the reference's stiff_est input, experiments/mnist_nsde.jl:51-61).
+        f_a, f_b, h_a, h_b = stage_info
+        num = hairer_norm(tree_sub(f_b, f_a), axis_name=axis_name)
+        den = hairer_norm(tree_sub(h_b, h_a), axis_name=axis_name)
         eigen_est = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
 
         dt_next, qold_next = ctrl.propose(dt_eff, eest, qold=carry.qold, accept=accept)
-        dt_next = jnp.minimum(dt_next, span)
+        dt_next = jnp.minimum(dt_next, span).astype(time_dtype)
+        qold_next = qold_next.astype(carry.qold.dtype)
 
         t_new = jnp.where(accept, jnp.where(is_last, t1, t + dt_eff), t)
         done_new = accept & is_last
@@ -363,12 +315,18 @@ def sdeint(
         )
         return new_carry, out
 
+    # EEst/eigen_est dtype follows the state dtype (float64 under x64);
+    # the noop branch must emit identical types for lax.cond.
+    eest_dtype = jnp.result_type(
+        *[l.dtype for l in jax.tree_util.tree_leaves(y0)], jnp.float32
+    )
+
     def noop(carry: _Carry):
         zero = jnp.zeros((), time_dtype)
         out = StepTelemetry(
             t=zero, dt=zero,
-            eest=jnp.zeros((), jnp.float32),
-            eigen_est=jnp.zeros((), jnp.float32),
+            eest=jnp.zeros((), eest_dtype),
+            eigen_est=jnp.zeros((), eest_dtype),
             accepted=jnp.asarray(False),
             live=jnp.asarray(False),
         )
@@ -383,8 +341,8 @@ def sdeint(
         tel0 = StepTelemetry(
             t=jnp.zeros((max_steps,), time_dtype),
             dt=jnp.zeros((max_steps,), time_dtype),
-            eest=jnp.zeros((max_steps,), jnp.float32),
-            eigen_est=jnp.zeros((max_steps,), jnp.float32),
+            eest=jnp.zeros((max_steps,), eest_dtype),
+            eigen_est=jnp.zeros((max_steps,), eest_dtype),
             accepted=jnp.zeros((max_steps,), bool),
             live=jnp.zeros((max_steps,), bool),
         )
@@ -404,8 +362,8 @@ def sdeint(
 
     nsteps = final.naccept + final.nreject
     stats = SDEStats(
-        nfe1=2 * nsteps,
-        nfe2=4 * nsteps,
+        nfe1=drift_evals_per_step(tableau) * nsteps,
+        nfe2=diffusion_evals_per_step(tableau) * nsteps,
         naccept=final.naccept,
         nreject=final.nreject,
         success=final.done,

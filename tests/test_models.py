@@ -127,7 +127,13 @@ class TestNeuralSDE:
         p = nsde.init(KEY, x)
         out = nsde(p, x, jax.random.PRNGKey(5))
         assert out.value.shape == (6, 4)
-        assert int(out.nfe1) * 2 == int(out.nfe2)
+        # default solver is the 4+4-evaluation SOSRI-TPU tableau
+        from regneuralde_tpu.ops import sri
+
+        tab = sri.get_tableau("sosri")
+        ratio = (sri.diffusion_evals_per_step(tab)
+                 / sri.drift_evals_per_step(tab))
+        assert int(out.nfe1) * ratio == int(out.nfe2)
 
     def test_saveat_trajectory(self):
         nsde = NeuralSDE(MLP(features=(4,)), MLP(features=(4,)),

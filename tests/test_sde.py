@@ -94,8 +94,12 @@ class TestStatsAndSaveat:
             key=jax.random.PRNGKey(4), rtol=1e-2, atol=1e-2,
         )
         nsteps = int(sol.stats.naccept) + int(sol.stats.nreject)
-        assert int(sol.stats.nfe1) == 2 * nsteps
-        assert int(sol.stats.nfe2) == 4 * nsteps
+        # per-trial-step costs come from the tableau's static sparsity
+        from regneuralde_tpu.ops import sri
+
+        tab = sri.get_tableau("sosri")  # sdeint default
+        assert int(sol.stats.nfe1) == sri.drift_evals_per_step(tab) * nsteps
+        assert int(sol.stats.nfe2) == sri.diffusion_evals_per_step(tab) * nsteps
 
     def test_saveat_shapes_and_endpoints(self):
         y0 = jnp.ones((2, 8))
