@@ -13,11 +13,15 @@ File formats accepted:
     (the standard keras layout) or IDX files
     (``train-images-idx3-ubyte`` etc.).
   * Physionet: ``physionet.npz`` with the six tensors the reference's BSON
-    bundle carries (src/dataset.jl:59-92).
+    bundle carries (src/dataset.jl:59-92), or the raw ``physionet.bson``
+    itself (decoded by the pure-Python BSON.jl codec,
+    ``regneuralde_tpu.data.bson``; converter: tools/convert_physionet.py).
   * MiniBooNE: ``miniboone.npy`` (feature-major or sample-major; detected).
+  * Toy SDE: ``sde_demo.bson`` (the reference's actual ground-truth blob).
 """
 
 from regneuralde_tpu.data.loader import DataLoader
+from regneuralde_tpu.data.bson import dump_bson, load_bson
 from regneuralde_tpu.data.datasets import (
     load_gaussian_mixture,
     load_miniboone,
@@ -25,12 +29,16 @@ from regneuralde_tpu.data.datasets import (
     load_physionet,
     load_spiral2d,
     make_sde_demo,
+    physionet_bundle_from_bson,
 )
 
 __all__ = [
     "DataLoader",
+    "load_bson",
+    "dump_bson",
     "load_mnist",
     "load_physionet",
+    "physionet_bundle_from_bson",
     "load_miniboone",
     "load_spiral2d",
     "load_gaussian_mixture",

@@ -205,6 +205,41 @@ def _synthetic_physionet(n=4096, feats=37, steps=49, seed=0):
     }
 
 
+_PHYSIONET_DATA_KEYS = (
+    "observed_data",
+    "observed_mask",
+    "data_to_predict",
+    "mask_predicted_data",
+)
+_PHYSIONET_TP_KEYS = ("observed_tp", "tp_to_predict")
+
+
+def physionet_bundle_from_bson(path) -> dict:
+    """Decode the reference's ``physionet.bson`` (BSON.jl blob holding a
+    ``data`` dict of six Julia column-major tensors — reference:
+    src/dataset.jl:65-77) into this framework's batch-major layout:
+    data tensors (N, steps, feats), timestamps (N, steps)."""
+    from regneuralde_tpu.data.bson import load_bson
+
+    blob = load_bson(path)
+    raw = blob.get("data", blob)
+    missing = [k for k in _PHYSIONET_DATA_KEYS + _PHYSIONET_TP_KEYS if k not in raw]
+    if missing:
+        raise KeyError(f"physionet bundle missing keys {missing}")
+    out = {}
+    for k in _PHYSIONET_DATA_KEYS:
+        arr = np.asarray(raw[k], np.float32)
+        if arr.ndim != 3:
+            raise ValueError(f"{k}: expected (feats, steps, N), got {arr.shape}")
+        out[k] = np.ascontiguousarray(arr.transpose(2, 1, 0))
+    for k in _PHYSIONET_TP_KEYS:
+        arr = np.asarray(raw[k], np.float32)
+        if arr.ndim != 2:
+            raise ValueError(f"{k}: expected (steps, N), got {arr.shape}")
+        out[k] = np.ascontiguousarray(arr.T)
+    return out
+
+
 def load_physionet(
     batch_size: int,
     path: Optional[str] = None,
@@ -215,13 +250,22 @@ def load_physionet(
     (observed_data, observed_mask, data_to_predict, mask_predicted_data,
     observed_tp, tp_to_predict), batch-major: data (B, 49, 37), tp (B, 49).
     Both loaders shuffle and drop partial batches, as the reference does
-    (partial=false, shuffle=true for both)."""
-    found = _search_file([path] if path else ["physionet.npz"], None if path else None)
+    (partial=false, shuffle=true for both).
+
+    Accepts either the converted npz (tools/convert_physionet.py) or the
+    reference's raw physionet.bson directly."""
+    found = _search_file(
+        [path] if path else ["physionet.npz", "physionet.bson"],
+        None if path else None,
+    )
     if path and Path(path).exists():
         found = Path(path)
     if found is not None:
-        with np.load(found) as d:
-            bundle = {k: d[k] for k in d.files}
+        if found.suffix == ".bson":
+            bundle = physionet_bundle_from_bson(found)
+        else:
+            with np.load(found) as d:
+                bundle = {k: d[k] for k in d.files}
         source = str(found)
     else:
         bundle = _synthetic_physionet(seed=seed)
@@ -362,10 +406,24 @@ def load_gaussian_mixture(
 
 
 def make_sde_demo(seed: int = 0, datasize: int = 30):
-    """Ground-truth data for the toy SDE experiment. The reference ships a
-    binary blob (data/sde_demo.bson, generated from a true SDE); here the
-    truth is regenerated: du = f(u) dt + g(u) dW for a damped cubic drift,
-    returning per-timestep means and variances over many trajectories."""
+    """Ground-truth data for the toy SDE experiment (per-timestep means,
+    variances, timestamps — reference: experiments/sde_toy_problem.jl:8-15).
+
+    If the reference's actual blob ``sde_demo.bson`` is findable (data/ or
+    REGNDE_DATA_DIR), its real ground truth is decoded with the BSON.jl
+    codec and returned — exact data parity. Otherwise the truth is
+    regenerated synthetically: du = f(u) dt + g(u) dW for a damped cubic
+    drift over many trajectories."""
+    found = _search_file(["sde_demo.bson"], None)
+    if found is not None and datasize == 30:
+        from regneuralde_tpu.data.bson import load_bson
+
+        blob = load_bson(found)
+        if "sde_data" in blob and "sde_data_vars" in blob:
+            means = np.asarray(blob["sde_data"], np.float32).T  # (30, 2)
+            vars_ = np.asarray(blob["sde_data_vars"], np.float32).T
+            tsteps = np.linspace(0.0, 1.0, means.shape[0]).astype(np.float32)
+            return means, vars_, tsteps
     rng = np.random.default_rng(seed)
     tsteps = np.linspace(0.0, 1.0, datasize).astype(np.float32)
     ntraj = 512
