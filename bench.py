@@ -39,9 +39,9 @@ from regneuralde_tpu.training import TrainState, create_train_state, mnist_node_
 
 BATCH = 512
 # Solves take ~36 trial steps at rtol=1.4e-8 with the accurate-tanh
-# dynamics; 96 leaves ~2.5x headroom while keeping the bounded scan's
-# dead-iteration overhead (every iteration pays cond/bwd structure cost
-# even when skipped) from dominating.
+# dynamics. mode="adjoint" (the NeuralODE default) pays only for live
+# steps in both directions, so the cap is pure safety headroom now —
+# raising it costs history memory (max_steps x state), not time.
 MAX_STEPS = 96
 WARMUP = 2
 MEASURE = 10

@@ -89,10 +89,10 @@ def main():
         atol=1.4e-8,
         max_steps=max_steps,
         axis_name=axis_name,
-        # Fused Pallas trial step on accelerators (~1.5x per-step speedup);
-        # the generic XLA sweep elsewhere and under data parallelism (the
-        # fused path doesn't carry the axis-coupled norms).
-        fused=(jax.default_backend() != "cpu") and not args.data_parallel,
+        # Fused Pallas trial step on accelerators; composes with data
+        # parallelism (the kernel reduces the error/stiffness norms to
+        # scalars which the solver psums over the mesh axis).
+        fused=jax.default_backend() != "cpu",
     )
     clf = ClassifierNODE(None, node, nn.Dense(10))
     key = jax.random.PRNGKey(seed)

@@ -103,16 +103,19 @@ class NeuralODE:
         *,
         tspan: Optional[Tuple] = None,
         saveat: Optional[jnp.ndarray] = None,
-        mode: str = "scan",
+        mode: str = "adjoint",
     ) -> NeuralDEOutput:
         t0, t1 = tspan if tspan is not None else self.tspan
         saveat = saveat if saveat is not None else self.saveat
         stage_sweep = None
         if self.fused:
-            from regneuralde_tpu.ops.pallas_mlp import mlp_dynamics_stage_sweep
+            # Normed variant: the error/stiffness reductions happen inside
+            # the kernel (NormedSweep scalars; the solver psums them under
+            # axis_name, so fused composes with data parallelism).
+            from regneuralde_tpu.ops.pallas_mlp import mlp_dynamics_normed_sweep
 
-            stage_sweep = lambda t, dt, y, f0, p: mlp_dynamics_stage_sweep(
-                t, dt, y, f0, p
+            stage_sweep = lambda t, dt, y, f0, p: mlp_dynamics_normed_sweep(
+                t, dt, y, f0, p, self.rtol, self.atol
             )
         sol = odeint(
             self._func,

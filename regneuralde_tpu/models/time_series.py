@@ -68,7 +68,7 @@ class LatentTimeSeriesModel:
         *,
         saveat: Optional[jnp.ndarray] = None,
         tspan=None,
-        mode: str = "scan",
+        mode: str = "adjoint",
     ) -> LatentTimeSeriesOutput:
         h = self.rnn.apply(params["rnn"], x)
         out = self.enc.apply(params["enc"], h)

@@ -86,12 +86,20 @@ def hairer_norm(tree: Pytree, axis_name: Optional[str] = None) -> jnp.ndarray:
 
     With ``axis_name`` the sum-of-squares and element count are psum'd over
     the mesh axis, producing the global-batch norm on every shard.
+
+    The zero point is vjp-safe (double-``where`` guard): ``sqrt`` has an
+    infinite derivative at 0, and a zero-length input occurs legitimately —
+    e.g. a trial step whose ``dt_eff`` rounds to exactly 0 at the interval
+    end makes the embedded error and the stage differences identically
+    zero. Without the guard, ``0 cotangent * inf derivative = NaN`` poisons
+    the entire backward chain.
     """
     sumsq, count = _sumsq_and_count(tree)
     if axis_name is not None:
         sumsq = lax.psum(sumsq, axis_name)
         count = lax.psum(count, axis_name)
-    return jnp.sqrt(sumsq / count)
+    safe = jnp.where(sumsq > 0, sumsq, 1.0)
+    return jnp.where(sumsq > 0, jnp.sqrt(safe / count), 0.0)
 
 
 def error_ratio(

@@ -101,6 +101,20 @@ class _Carry(NamedTuple):
     ys_buf: Optional[Pytree]
 
 
+class NormedSweep(NamedTuple):
+    """A ``stage_sweep`` result whose error/stiffness norms were already
+    reduced to sums-of-squares inside the kernel (one VMEM pass; no
+    full-size error/stage arrays ever round-trip HBM). Under data
+    parallelism the three scalars are psum'd, so fused kernels compose
+    with ``axis_name`` — the kernel itself never communicates."""
+
+    y_new: Pytree
+    k_last: Pytree
+    err_ssq: jnp.ndarray  # sum(((err)/(atol+max(|y|,|y_new|)rtol))^2)
+    eig_num_ssq: jnp.ndarray  # sum((k_last - k_prev)^2)
+    eig_den_ssq: jnp.ndarray  # sum((y_new - g_prev)^2)
+
+
 def _hermite_eval(theta, h, y0, y1, f0, f1):
     """Cubic Hermite interpolation on one step; ``theta`` has shape (S,).
 
@@ -178,17 +192,50 @@ def _make_step_fn(
         is_last = (dt - remaining) * tdir >= 0
         dt_eff = jnp.where(is_last, remaining, dt)
 
-        y_new, k_last, err, k_prev, g_prev = sweep(t, dt_eff, y, f0, args)
-        eest = error_ratio(err, y, y_new, rtol, atol, axis_name=axis_name)
-        eest = eest.astype(err_dtype)
+        res = sweep(t, dt_eff, y, f0, args)
+        if isinstance(res, NormedSweep):
+            # Norms were reduced in-kernel; only scalars remain. psum makes
+            # the fused path DP-composable: every shard sees the global
+            # sums and the controller stays in lockstep.
+            y_new, k_last = res.y_new, res.k_last
+            err_ssq = res.err_ssq.astype(err_dtype)
+            num_ssq = res.eig_num_ssq.astype(err_dtype)
+            den_ssq = res.eig_den_ssq.astype(err_dtype)
+            count = jnp.asarray(
+                sum(l.size for l in jax.tree_util.tree_leaves(y)), err_dtype
+            )
+            if axis_name is not None:
+                err_ssq = lax.psum(err_ssq, axis_name)
+                num_ssq = lax.psum(num_ssq, axis_name)
+                den_ssq = lax.psum(den_ssq, axis_name)
+                count = lax.psum(count, axis_name)
+            eest = jnp.where(
+                err_ssq > 0,
+                jnp.sqrt(jnp.where(err_ssq > 0, err_ssq, 1.0) / count),
+                0.0,
+            )
+            # ratio of RMS norms == ratio of sqrt(ssq) (equal counts)
+            eig_num = jnp.where(
+                num_ssq > 0,
+                jnp.sqrt(jnp.where(num_ssq > 0, num_ssq, 1.0)), 0.0)
+            eig_den = jnp.where(
+                den_ssq > 0,
+                jnp.sqrt(jnp.where(den_ssq > 0, den_ssq, 1.0)), 0.0)
+            eigen_est = jnp.where(
+                eig_den > 0, eig_num / jnp.maximum(eig_den, 1e-30), 0.0
+            ).astype(err_dtype)
+        else:
+            y_new, k_last, err, k_prev, g_prev = res
+            eest = error_ratio(err, y, y_new, rtol, atol, axis_name=axis_name)
+            eest = eest.astype(err_dtype)
 
-        # Stiffness estimate from the last two internal stages, as
-        # OrdinaryDiffEq's composite algorithms compute it.
-        eig_num = hairer_norm(tree_sub(k_last, k_prev), axis_name=axis_name)
-        eig_den = hairer_norm(tree_sub(y_new, g_prev), axis_name=axis_name)
-        eigen_est = jnp.where(
-            eig_den > 0, eig_num / jnp.maximum(eig_den, 1e-30), 0.0
-        ).astype(err_dtype)
+            # Stiffness estimate from the last two internal stages, as
+            # OrdinaryDiffEq's composite algorithms compute it.
+            eig_num = hairer_norm(tree_sub(k_last, k_prev), axis_name=axis_name)
+            eig_den = hairer_norm(tree_sub(y_new, g_prev), axis_name=axis_name)
+            eigen_est = jnp.where(
+                eig_den > 0, eig_num / jnp.maximum(eig_den, 1e-30), 0.0
+            ).astype(err_dtype)
 
         accept = eest <= 1.0
         dt_next, qold_next = ctrl.propose(dt_eff, eest, qold, accept)
@@ -255,6 +302,232 @@ def _make_step_fn(
     return step, noop
 
 
+# ---------------------------------------------------------------------------
+# Differentiable early-exit mode ("adjoint"): while_loop forward storing the
+# per-trial-step carry, custom_vjp backward replaying ONLY live steps in a
+# reverse while_loop. Unlike the bounded scan, neither direction pays for
+# dead iterations past the step where integration finished — the scan mode's
+# measured top cost at generous max_steps — while gradients remain the exact
+# discrete adjoint through every accepted and rejected step (the reference's
+# SensitivityADPassThrough semantics, src/models/neural_ode.jl:67).
+# Per-step state rematerialization (recompute the stage sweep from the
+# stored step-start state) doubles as the checkpointing strategy: backward
+# memory is O(max_steps * state), same as the remat'd scan.
+# Not twice-differentiable (the backward is itself a while_loop); use
+# mode="scan" for higher-order AD.
+# ---------------------------------------------------------------------------
+
+
+class _AdjointHist(NamedTuple):
+    t: jnp.ndarray  # (max_steps,) carry at each trial-step START
+    dt: jnp.ndarray
+    qold: jnp.ndarray
+    y: Pytree  # (max_steps,) + leaf.shape
+    f0: Pytree  # FSAL derivative carried into the step (bitwise-faithful
+    # replay: recomputing func(t, y) instead would differ from the carried
+    # k7 by rounding, and 1/tol amplification through the EEst chain turns
+    # those ulps into visible gradient noise)
+
+
+def _make_adjoint_solve(
+    func, tab, ctrl, rtol, atol, saveat, axis_name, stage_sweep,
+    max_steps, time_dtype, err_dtype,
+):
+    """Build the custom_vjp'd solve for one (static-config) odeint call.
+
+    The returned callable maps
+      (t0, t1, dt_init, y0, f0_init, ys_buf_init, args)
+    to
+      (y1, ys_buf, telemetry, t_f, dt_f, qold_f, naccept, nreject, done).
+    """
+    tdir_of = lambda t0, t1: jnp.sign(t1 - t0)
+
+    def make_step(t0, t1, args):
+        tdir = tdir_of(t0, t1)
+        span = jnp.abs(t1 - t0)
+        step_fn, _ = _make_step_fn(
+            func, args, tab, ctrl, t1, tdir, span, rtol, atol, saveat,
+            axis_name, stage_sweep=stage_sweep,
+        )
+        return step_fn
+
+    def replay(t, dt, qold, y, f0, ys_buf, t0, t1, args):
+        """One trial step from the stored step-start carry (incl. the FSAL
+        derivative), bitwise identical to the forward's step."""
+        carry = _Carry(
+            t=t, dt=dt, qold=qold, y=y, f0=f0,
+            done=jnp.asarray(False),
+            step=jnp.asarray(0, jnp.int32),
+            naccept=jnp.asarray(0, jnp.int32),
+            nreject=jnp.asarray(0, jnp.int32),
+            ys_buf=ys_buf,
+        )
+        new, tel = make_step(t0, t1, args)(carry)
+        return (new.t, new.dt, new.qold, new.y, new.f0, new.ys_buf,
+                tel.t, tel.dt, tel.eest, tel.eigen_est)
+
+    def _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init, args):
+        step_fn = make_step(t0, t1, args)
+        tel0 = StepTelemetry(
+            t=jnp.zeros((max_steps,), time_dtype),
+            dt=jnp.zeros((max_steps,), time_dtype),
+            eest=jnp.zeros((max_steps,), err_dtype),
+            eigen_est=jnp.zeros((max_steps,), err_dtype),
+            accepted=jnp.zeros((max_steps,), bool),
+            live=jnp.zeros((max_steps,), bool),
+        )
+        def buf_like(tree):
+            # History buffers must carry the template's varying-mesh-axes
+            # (under shard_map the state rows are per-shard), or the
+            # while_loop carry types mismatch at the first write.
+            def mk(l):
+                buf = jnp.zeros((max_steps,) + l.shape, l.dtype)
+                vma = tuple(
+                    sorted(getattr(jax.typeof(l), "vma", frozenset()) or ())
+                )
+                return jax.lax.pvary(buf, vma) if vma else buf
+
+            return jax.tree_util.tree_map(mk, tree)
+        hist0 = _AdjointHist(
+            t=jnp.zeros((max_steps,), time_dtype),
+            dt=jnp.zeros((max_steps,), time_dtype),
+            qold=jnp.zeros((max_steps,), err_dtype),
+            y=buf_like(y0),
+            f0=buf_like(f0_init),
+        )
+        init = _Carry(
+            t=t0, dt=dt_init,
+            qold=jnp.asarray(ctrl.qoldinit, err_dtype),
+            y=y0, f0=f0_init,
+            done=jnp.abs(t1 - t0) == 0,
+            step=jnp.asarray(0, jnp.int32),
+            naccept=jnp.asarray(0, jnp.int32),
+            nreject=jnp.asarray(0, jnp.int32),
+            ys_buf=ys_buf_init,
+        )
+
+        def cond(state):
+            carry, _, _ = state
+            return (~carry.done) & (carry.step < max_steps)
+
+        def body(state):
+            carry, tel, hist = state
+            i = carry.step
+            set_row = lambda buf_tree, val_tree: jax.tree_util.tree_map(
+                lambda buf, l: buf.at[i].set(l), buf_tree, val_tree
+            )
+            hist = _AdjointHist(
+                t=hist.t.at[i].set(carry.t),
+                dt=hist.dt.at[i].set(carry.dt),
+                qold=hist.qold.at[i].set(carry.qold),
+                y=set_row(hist.y, carry.y),
+                f0=set_row(hist.f0, carry.f0),
+            )
+            carry2, out = step_fn(carry)
+            tel2 = StepTelemetry(*[b.at[i].set(o) for b, o in zip(tel, out)])
+            return carry2, tel2, hist
+
+        final, tel, hist = lax.while_loop(cond, body, (init, tel0, hist0))
+        outs = (final.y, final.ys_buf, tel, final.t, final.dt, final.qold,
+                final.naccept, final.nreject, final.done)
+        return outs, hist
+
+    @jax.custom_vjp
+    def solve(t0, t1, dt_init, y0, f0_init, ys_buf_init, args):
+        outs, _ = _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init, args)
+        return outs
+
+    def solve_fwd(t0, t1, dt_init, y0, f0_init, ys_buf_init, args):
+        outs, hist = _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init, args)
+        nsteps = outs[6] + outs[7]  # naccept + nreject
+        return outs, (hist, nsteps, t0, t1, y0, f0_init, ys_buf_init, args)
+
+    def solve_bwd(res, cts):
+        hist, nsteps, t0, t1, y0, f0_init, ys_buf_init, args = res
+        (ct_y1, ct_ysbuf, ct_tel, ct_tf, ct_dtf, ct_qoldf,
+         _ct_na, _ct_nr, _ct_done) = cts
+
+        zero_f = lambda x: jnp.zeros((), x.dtype) if jnp.issubdtype(
+            x.dtype, jnp.floating) else None
+
+        def zlike(tree):
+            return jax.tree_util.tree_map(jnp.zeros_like, tree)
+
+        ys_zero = zlike(ys_buf_init)
+
+        carry0 = (
+            nsteps - 1,
+            _materialize(ct_tf, jnp.zeros((), time_dtype)),
+            _materialize(ct_dtf, jnp.zeros((), time_dtype)),
+            _materialize(ct_qoldf, jnp.zeros((), err_dtype)),
+            _materialize_tree(ct_y1, y0),
+            zlike(f0_init),  # ct on the carried FSAL derivative
+            _materialize_tree(ct_ysbuf, ys_buf_init),
+            zlike(args),
+            jnp.zeros((), time_dtype),  # extra ct into t0 (span clamp)
+            jnp.zeros((), time_dtype),  # extra ct into t1 (is_last / span)
+        )
+
+        ct_tel_t = _materialize(ct_tel.t, jnp.zeros((max_steps,), time_dtype))
+        ct_tel_dt = _materialize(ct_tel.dt, jnp.zeros((max_steps,), time_dtype))
+        ct_tel_eest = _materialize(ct_tel.eest, jnp.zeros((max_steps,), err_dtype))
+        ct_tel_eig = _materialize(
+            ct_tel.eigen_est, jnp.zeros((max_steps,), err_dtype))
+
+        def cond(state):
+            return state[0] >= 0
+
+        def body(state):
+            (i, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys, ct_args,
+             ct_t0x, ct_t1x) = state
+            row = lambda tree: jax.tree_util.tree_map(lambda b: b[i], tree)
+            prim = (
+                hist.t[i], hist.dt[i], hist.qold[i],
+                row(hist.y), row(hist.f0),
+                ys_zero, t0, t1, args,
+            )
+            _, vjp_fn = jax.vjp(replay, *prim)
+            (d_t, d_dt, d_qold, d_y, d_f0, d_ys, d_t0, d_t1, d_args) = vjp_fn(
+                (ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys,
+                 ct_tel_t[i], ct_tel_dt[i], ct_tel_eest[i], ct_tel_eig[i])
+            )
+            return (
+                i - 1, d_t, d_dt, d_qold, d_y, d_f0, d_ys,
+                jax.tree_util.tree_map(jnp.add, ct_args, d_args),
+                ct_t0x + d_t0, ct_t1x + d_t1,
+            )
+
+        (_, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys, ct_args,
+         ct_t0x, ct_t1x) = lax.while_loop(cond, body, carry0)
+
+        return (
+            ct_t + ct_t0x,  # t0: carry start + span-clamp contributions
+            ct_t1x,         # t1
+            ct_dt,          # dt_init
+            ct_y,           # y0
+            ct_f0,          # f0_init (FSAL seed; flows through func at t0)
+            ct_ys,          # ys_buf_init (pass-through outside save windows)
+            ct_args,
+        )
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+def _materialize(ct, zeros):
+    """Replace symbolic-zero cotangents with concrete zeros."""
+    if ct is None or (hasattr(ct, "dtype") and ct.dtype == jax.dtypes.float0):
+        return zeros
+    return ct
+
+
+def _materialize_tree(ct, like):
+    return jax.tree_util.tree_map(
+        lambda c, l: _materialize(c, jnp.zeros(l.shape, l.dtype)), ct, like,
+        is_leaf=lambda x: x is None,
+    )
+
+
 def odeint(
     func: Callable[[Any, Pytree, Any], Pytree],
     y0: Pytree,
@@ -293,8 +566,12 @@ def odeint(
       saveat: optional 1-D array of times at which to emit interpolated
         states (reference: latent ODE's 49 Physionet timestamps,
         experiments/latent_ode.jl:137-147).
-      mode: ``"scan"`` (differentiable, bounded) or ``"while"`` (early
-        exit, not reverse-differentiable — for inference/NFE measurement).
+      mode: ``"adjoint"`` (differentiable AND early-exit: while_loop
+        forward, custom reverse while_loop over live steps only — the
+        fast path for training; not twice-differentiable), ``"scan"``
+        (differentiable, bounded — the oracle; supports higher-order AD)
+        or ``"while"`` (early exit, not reverse-differentiable — for
+        inference/NFE measurement).
       remat: checkpoint each step body (scan mode) to bound backward memory.
       axis_name: mesh axis for globally synchronized step control under
         ``shard_map`` data parallelism.
@@ -370,6 +647,30 @@ def odeint(
         stage_sweep=stage_sweep,
     )
 
+    if mode == "adjoint":
+        solve = _make_adjoint_solve(
+            func, tab, ctrl, rtol, atol, saveat, axis_name, stage_sweep,
+            max_steps, time_dtype, err_dtype,
+        )
+        ys_init = ys_buf if ys_buf is not None else ()
+        (y1, ys_out, tel, _tf, _dtf, _qoldf, naccept, nreject, done) = solve(
+            t0, t1, init.dt, y0, f_init, ys_init, args
+        )
+        nsteps = naccept + nreject
+        stats = ODEStats(
+            nfe=jnp.asarray(nfe_init, jnp.int32) + (tab.num_stages - 1) * nsteps,
+            naccept=naccept,
+            nreject=nreject,
+            success=done,
+        )
+        return ODESolution(
+            y1=y1,
+            ys=ys_out if saveat is not None else None,
+            ts=saveat,
+            stats=stats,
+            telemetry=tel,
+        )
+
     if mode == "scan":
         body = lambda c: lax.cond(c.done, noop_fn, step_fn, c)
         if remat:
@@ -404,7 +705,9 @@ def odeint(
 
         final, tel = lax.while_loop(while_cond, while_body, (init, tel0))
     else:
-        raise ValueError(f"unknown mode {mode!r}; use 'scan' or 'while'")
+        raise ValueError(
+            f"unknown mode {mode!r}; use 'adjoint', 'scan' or 'while'"
+        )
 
     nsteps = final.naccept + final.nreject
     stats = ODEStats(

@@ -134,6 +134,44 @@ def _reference_sweep(t, dt, y, k1, parts):
     return y_new, ks[-1], err, ks[-2], g6
 
 
+def _vma_struct(shape, dtype, like):
+    """ShapeDtypeStruct carrying the varying-mesh-axes of ``like`` so
+    pallas_call composes with shard_map's vma checking (the kernel's
+    outputs vary over exactly the axes its row inputs do)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
+def _vma_axes(like) -> tuple:
+    return tuple(sorted(getattr(jax.typeof(like), "vma", frozenset()) or ()))
+
+
+def _pvary_like(like, *arrays):
+    """Promote replicated (mesh-invariant) kernel inputs — weights, the
+    scalar t/dt, scalar cotangents — to the varying-mesh-axes of ``like``
+    (the sharded row input) so every in-kernel op sees uniform vma under
+    shard_map. ``pvary``'s transpose is a psum, which is exactly the
+    correct adjoint for a replicated input."""
+    axes = _vma_axes(like)
+    if not axes:
+        return arrays
+    out = []
+    for a in arrays:
+        have = getattr(jax.typeof(a), "vma", frozenset())
+        need = tuple(ax for ax in axes if ax not in have)
+        out.append(jax.lax.pvary(a, need) if need else a)
+    return tuple(out)
+
+
+def _psum_cts(like, *arrays):
+    """Reduce per-shard cotangents of replicated primals (weights, t, dt)
+    to the invariant total — the adjoint of replication."""
+    axes = _vma_axes(like)
+    if not axes:
+        return arrays
+    return tuple(jax.lax.psum(a, axes) for a in arrays)
+
+
 def _pick_block(batch: int, target: int = 128) -> int:
     """Largest divisor of ``batch`` not exceeding ``target`` — tiles must
     cover the batch exactly because the backward kernel reduces over tile
@@ -144,7 +182,19 @@ def _pick_block(batch: int, target: int = 128) -> int:
     return batch
 
 
+def _interpret_under_shard_map(y) -> bool:
+    """Pallas's CPU interpreter cannot evaluate kernels whose operands
+    carry varying-mesh-axes (its internal grid loop mixes vma'd and
+    invariant operands). Under a CPU-mesh shard_map, fall back to the
+    plain-XLA reference algebra — bitwise-equivalent semantics, verified
+    by tests; compiled TPU kernels declare vma properly and don't need
+    the fallback."""
+    return jax.default_backend() == "cpu" and bool(_vma_axes(y))
+
+
 def _pallas_sweep(t, dt, y, k1, parts, block_batch: int = 128):
+    if _interpret_under_shard_map(y):
+        return _reference_sweep(t, dt, y, k1, parts)
     batch, dim = y.shape
     bt = _pick_block(batch, block_batch)
     grid = (pl.cdiv(batch, bt),)
@@ -153,6 +203,8 @@ def _pallas_sweep(t, dt, y, k1, parts, block_batch: int = 128):
 
     t2 = jnp.reshape(t.astype(jnp.float32), (1, 1))
     dt2 = jnp.reshape(dt.astype(jnp.float32), (1, 1))
+    (t2, dt2, w1x, w1t, b1, w2h, w2t, b2) = _pvary_like(
+        y, t2, dt2, w1x, w1t, b1, w2h, w2t, b2)
 
     row_spec = pl.BlockSpec((bt, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -173,7 +225,7 @@ def _pallas_sweep(t, dt, y, k1, parts, block_batch: int = 128):
             full((1, dim)),
         ],
         out_specs=[row_spec] * 5,
-        out_shape=[jax.ShapeDtypeStruct((batch, dim), y.dtype)] * 5,
+        out_shape=[_vma_struct((batch, dim), y.dtype, y)] * 5,
         interpret=jax.default_backend() == "cpu",
     )(t2, dt2, y, k1, w1x, w1t, b1, w2h, w2t, b2)
     return tuple(out)
@@ -323,6 +375,10 @@ def _fused_bwd_kernel(
 
 
 def _pallas_bwd(t, dt, y, k1, parts, cotangents, block_batch: int = 64):
+    if _interpret_under_shard_map(y):
+        with jax.default_matmul_precision("highest"):
+            _, vjp_fn = jax.vjp(_reference_sweep, t, dt, y, k1, parts)
+            return vjp_fn(cotangents)
     # Smaller tiles than the forward: the backward keeps the stage stacks
     # (6 yi + 7 k) AND five cotangent blocks live in VMEM — 128-row tiles
     # exceed the 16MB scoped limit at dim=784.
@@ -335,6 +391,8 @@ def _pallas_bwd(t, dt, y, k1, parts, cotangents, block_batch: int = 64):
 
     t2 = jnp.reshape(t.astype(jnp.float32), (1, 1))
     dt2 = jnp.reshape(dt.astype(jnp.float32), (1, 1))
+    (t2, dt2, w1x, w1t, b1, w2h, w2t, b2) = _pvary_like(
+        y, t2, dt2, w1x, w1t, b1, w2h, w2t, b2)
 
     row_spec = pl.BlockSpec((bt, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -358,21 +416,25 @@ def _pallas_bwd(t, dt, y, k1, parts, cotangents, block_batch: int = 64):
             smem_scalar, smem_scalar,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, dim), y.dtype),
-            jax.ShapeDtypeStruct((batch, dim), y.dtype),
-            jax.ShapeDtypeStruct((dim, hidden), f32),
-            jax.ShapeDtypeStruct((1, hidden), f32),
-            jax.ShapeDtypeStruct((1, hidden), f32),
-            jax.ShapeDtypeStruct((hidden, dim), f32),
-            jax.ShapeDtypeStruct((1, dim), f32),
-            jax.ShapeDtypeStruct((1, dim), f32),
-            jax.ShapeDtypeStruct((1, 1), f32),
-            jax.ShapeDtypeStruct((1, 1), f32),
+            _vma_struct((batch, dim), y.dtype, y),
+            _vma_struct((batch, dim), y.dtype, y),
+            _vma_struct((dim, hidden), f32, y),
+            _vma_struct((1, hidden), f32, y),
+            _vma_struct((1, hidden), f32, y),
+            _vma_struct((hidden, dim), f32, y),
+            _vma_struct((1, dim), f32, y),
+            _vma_struct((1, dim), f32, y),
+            _vma_struct((1, 1), f32, y),
+            _vma_struct((1, 1), f32, y),
         ],
         interpret=jax.default_backend() == "cpu",
     )(t2, dt2, y, k1, w1x, w1t, b1, w2h, w2t, b2, cyn, ck7, cerr, ck6, cg6)
 
     cy, ck1, cw1x, cw1t, cb1, cw2h, cw2t, cb2, ct_t, ct_dt = out
+    # Replicated primals (weights, t, dt) take the psum of the per-shard
+    # cotangents — the adjoint of replication under shard_map.
+    (cw1x, cw1t, cb1, cw2h, cw2t, cb2, ct_t, ct_dt) = _psum_cts(
+        y, cw1x, cw1t, cb1, cw2h, cw2t, cb2, ct_t, ct_dt)
     ct_t = ct_t[0, 0].astype(jnp.result_type(t))
     ct_dt = ct_dt[0, 0].astype(jnp.result_type(dt))
     # Match the original params structure: biases were lifted to (1, X).
@@ -426,3 +488,408 @@ def mlp_dynamics_stage_sweep(t, dt, y, k1, params):
         sol = odeint(node._func, x, t0, t1, params, stage_sweep=sweep, ...)
     """
     return _fused_step(t, dt, y, k1, _split_params(params))
+
+
+# ---------------------------------------------------------------------------
+# Normed trial step: error/stiffness norms reduced in-kernel.
+#
+# The plain fused step still writes three full-size arrays (err, k6, g6) to
+# HBM only for the solver to immediately reduce them to three scalars (the
+# tolerance-normalized error norm and the two stiffness-estimate norms).
+# This variant folds those reductions into the same VMEM pass: outputs are
+# (y_new, k7) plus three accumulated sums-of-squares — 60% less output
+# traffic per trial step, and (because only scalars need the cross-shard
+# reduction) the fused path composes with shard_map data parallelism: the
+# solver psums the scalars, the kernel never communicates.
+# ---------------------------------------------------------------------------
+
+
+def _make_normed_kernels(rtol: float, atol: float):
+    """Kernel pair with the tolerance scale baked in as compile-time
+    constants (rtol/atol are Python floats at trace time)."""
+
+    def fwd_kernel(
+        t_ref, dt_ref,  # SMEM scalars (1, 1)
+        y_ref, k1_ref,  # (Bt, D) VMEM
+        w1x_ref, w1t_ref, b1_ref, w2h_ref, w2t_ref, b2_ref,
+        ynew_ref, k7_ref, errssq_ref, numssq_ref, denssq_ref,
+    ):
+        tab = TSIT5
+        t = t_ref[0, 0]
+        dt = dt_ref[0, 0]
+        y = y_ref[:]
+        parts = (w1x_ref[:], w1t_ref[:], b1_ref[:],
+                 w2h_ref[:], w2t_ref[:], b2_ref[:])
+
+        ks = [k1_ref[:]]
+        y_stage = y
+        g6 = y
+        for i in range(1, 7):
+            acc = tab.a[i - 1][0] * ks[0]
+            for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+                if c != 0.0:
+                    acc = acc + c * k
+            y_stage = y + dt * acc
+            ti = t + tab.c[i] * dt
+            ks.append(_mlp_k(y_stage, ti, *parts))
+            if i == 5:
+                g6 = y_stage
+
+        y_new = y_stage  # b row == last a row (FSAL)
+        ynew_ref[:] = y_new
+        k7_ref[:] = ks[-1]
+
+        err = tab.btilde[1] * (ks[1] - ks[0])
+        for c, k in zip(tab.btilde[2:], ks[2:]):
+            err = err + c * (k - ks[0])
+        err = dt * err
+        denom = atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol
+        scaled = err / denom
+        err_ssq = jnp.sum(scaled * scaled)
+        dk = ks[-1] - ks[-2]
+        num_ssq = jnp.sum(dk * dk)
+        dg = y_new - g6
+        den_ssq = jnp.sum(dg * dg)
+
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            errssq_ref[0, 0] = err_ssq
+            numssq_ref[0, 0] = num_ssq
+            denssq_ref[0, 0] = den_ssq
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            errssq_ref[0, 0] = errssq_ref[0, 0] + err_ssq
+            numssq_ref[0, 0] = numssq_ref[0, 0] + num_ssq
+            denssq_ref[0, 0] = denssq_ref[0, 0] + den_ssq
+
+    def bwd_kernel(
+        t_ref, dt_ref,  # SMEM scalars (1, 1)
+        y_ref, k1_ref,
+        w1x_ref, w1t_ref, b1_ref, w2h_ref, w2t_ref, b2_ref,
+        cyn_ref, ck7_ref,
+        cerrssq_ref, cnumssq_ref, cdenssq_ref,  # SMEM scalar cotangents
+        # outputs
+        cy_ref, ck1_ref,
+        cw1x_ref, cw1t_ref, cb1_ref, cw2h_ref, cw2t_ref, cb2_ref,
+        ct_ref, cdt_ref,
+    ):
+        """Recompute the six stages in VMEM, seed the reverse chain from
+        the scalar norm cotangents (expanded to elementwise cotangents
+        in-register), then run the same transposed chain as the plain
+        backward kernel."""
+        tab = TSIT5
+        t = t_ref[0, 0]
+        dt = dt_ref[0, 0]
+        y = y_ref[:]
+        w1x = w1x_ref[:]
+        w1t = w1t_ref[:]
+        b1 = b1_ref[:]
+        w2h = w2h_ref[:]
+        w2t = w2t_ref[:]
+        b2 = b2_ref[:]
+
+        # ---- forward recompute, stage values live in VMEM ----
+        ks = [k1_ref[:]]
+        yis, hs = [], []
+        for i in range(1, 7):
+            acc = tab.a[i - 1][0] * ks[0]
+            for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+                if c != 0.0:
+                    acc = acc + c * k
+            yi = y + dt * acc
+            ti = t + tab.c[i] * dt
+            pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST) + ti * w1t + b1
+            h = _tanh(pre1)
+            pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST) + ti * w2t + b2
+            ks.append(_tanh(pre2))
+            yis.append(yi)
+            hs.append(h)
+        y_new = yis[-1]
+
+        # ---- seed cotangents from the scalar norm cotangents ----
+        # err_ssq = sum((err/denom)^2), err = dt * S, S = sum btilde_j k_j
+        s_comb = tab.btilde[1] * (ks[1] - ks[0])
+        for c, k in zip(tab.btilde[2:], ks[2:]):
+            s_comb = s_comb + c * (k - ks[0])
+        err = dt * s_comb
+        denom = atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol
+        scaled = err / denom
+        ct_errssq = cerrssq_ref[0, 0]
+        cerr = ct_errssq * 2.0 * scaled / denom
+        # denom path: d err_ssq / d denom = -2 scaled^2 / denom, routed to
+        # whichever of |y|, |y_new| is the max (jnp.maximum subgradient).
+        cdenom = ct_errssq * (-2.0) * scaled * scaled / denom
+        y_is_max = jnp.abs(y) >= jnp.abs(y_new)
+        to_y = jnp.where(y_is_max, cdenom * rtol * jnp.sign(y), 0.0)
+        to_ynew = jnp.where(y_is_max, 0.0, cdenom * rtol * jnp.sign(y_new))
+
+        # num_ssq = sum((k7-k6)^2); den_ssq = sum((y_new-g6)^2), g6 = yis[4]
+        dk = ks[6] - ks[5]
+        d_k7 = cnumssq_ref[0, 0] * 2.0 * dk
+        dg = y_new - yis[4]
+        d_ynew = cdenssq_ref[0, 0] * 2.0 * dg
+
+        ct_ks = [tab.btilde[j] * (dt * cerr) for j in range(7)]
+        ct_ks[6] = ct_ks[6] + ck7_ref[:] + d_k7
+        ct_ks[5] = ct_ks[5] - d_k7
+        ct_yi_seed = {6: cyn_ref[:] + d_ynew + to_ynew, 5: -d_ynew}
+
+        ct_dt = jnp.sum(cerr * s_comb)
+        ct_t = jnp.zeros((), jnp.float32)
+        ct_y = to_y
+        cw1x = jnp.zeros_like(w1x)
+        cw1t = jnp.zeros_like(w1t)
+        cb1 = jnp.zeros_like(b1)
+        cw2h = jnp.zeros_like(w2h)
+        cw2t = jnp.zeros_like(w2t)
+        cb2 = jnp.zeros_like(b2)
+
+        contract_batch = (((0,), (0,)), ((), ()))
+        for i in range(6, 0, -1):
+            k_i = ks[i]
+            h_i = hs[i - 1]
+            yi = yis[i - 1]
+            ti = t + tab.c[i] * dt
+
+            ct_pre2 = ct_ks[i] * (1.0 - k_i * k_i)
+            cw2h = cw2h + jax.lax.dot_general(
+                h_i, ct_pre2, contract_batch,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rows2 = jnp.sum(ct_pre2, axis=0, keepdims=True)
+            cw2t = cw2t + ti * rows2
+            cb2 = cb2 + rows2
+            ct_ti = jnp.sum(ct_pre2 * w2t)
+
+            ct_h = jax.lax.dot_general(
+                ct_pre2, w2h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ct_pre1 = ct_h * (1.0 - h_i * h_i)
+            cw1x = cw1x + jax.lax.dot_general(
+                yi, ct_pre1, contract_batch,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rows1 = jnp.sum(ct_pre1, axis=0, keepdims=True)
+            cw1t = cw1t + ti * rows1
+            cb1 = cb1 + rows1
+            ct_ti = ct_ti + jnp.sum(ct_pre1 * w1t)
+
+            ct_yi = ct_yi_seed.get(i, 0.0) + jax.lax.dot_general(
+                ct_pre1, w1x, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            ct_y = ct_y + ct_yi
+            acc = tab.a[i - 1][0] * ks[0]
+            for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+                if c != 0.0:
+                    acc = acc + c * k
+            ct_dt = ct_dt + jnp.sum(ct_yi * acc) + tab.c[i] * ct_ti
+            ct_t = ct_t + ct_ti
+            for j, c in enumerate(tab.a[i - 1]):
+                if c != 0.0:
+                    ct_ks[j] = ct_ks[j] + (dt * c) * ct_yi
+
+        cy_ref[:] = ct_y
+        ck1_ref[:] = ct_ks[0]
+
+        first = pl.program_id(0) == 0
+
+        @pl.when(first)
+        def _():
+            cw1x_ref[:] = cw1x
+            cw1t_ref[:] = cw1t
+            cb1_ref[:] = cb1
+            cw2h_ref[:] = cw2h
+            cw2t_ref[:] = cw2t
+            cb2_ref[:] = cb2
+            ct_ref[0, 0] = ct_t
+            cdt_ref[0, 0] = ct_dt
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            cw1x_ref[:] = cw1x_ref[:] + cw1x
+            cw1t_ref[:] = cw1t_ref[:] + cw1t
+            cb1_ref[:] = cb1_ref[:] + cb1
+            cw2h_ref[:] = cw2h_ref[:] + cw2h
+            cw2t_ref[:] = cw2t_ref[:] + cw2t
+            cb2_ref[:] = cb2_ref[:] + cb2
+            ct_ref[0, 0] = ct_ref[0, 0] + ct_t
+            cdt_ref[0, 0] = cdt_ref[0, 0] + ct_dt
+
+    return fwd_kernel, bwd_kernel
+
+
+def _reference_normed_sweep(t, dt, y, k1, parts, rtol, atol):
+    """Plain-XLA oracle with the identical algebra (incl. the maximum
+    subgradient routing), used for interpret-mode tests and the
+    jax.vjp-derived backward check."""
+    y_new, k7, err, k6, g6 = _reference_sweep(t, dt, y, k1, parts)
+    denom = atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol
+    scaled = err / denom
+    dk = k7 - k6
+    dg = y_new - g6
+    return (y_new, k7, jnp.sum(scaled * scaled), jnp.sum(dk * dk),
+            jnp.sum(dg * dg))
+
+
+def _normed_pallas_fwd(t, dt, y, k1, parts, rtol, atol,
+                       block_batch: int = 128):
+    if _interpret_under_shard_map(y):
+        return _reference_normed_sweep(t, dt, y, k1, parts, rtol, atol)
+    batch, dim = y.shape
+    bt = _pick_block(batch, block_batch)
+    grid = (pl.cdiv(batch, bt),)
+    w1x, w1t, b1, w2h, w2t, b2 = parts
+    hidden = w1x.shape[1]
+    fwd_kernel, _ = _make_normed_kernels(rtol, atol)
+
+    t2 = jnp.reshape(t.astype(jnp.float32), (1, 1))
+    dt2 = jnp.reshape(dt.astype(jnp.float32), (1, 1))
+    (t2, dt2, w1x, w1t, b1, w2h, w2t, b2) = _pvary_like(
+        y, t2, dt2, w1x, w1t, b1, w2h, w2t, b2)
+
+    row_spec = pl.BlockSpec((bt, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        fwd_kernel,
+        grid=grid,
+        in_specs=[
+            smem_scalar, smem_scalar,
+            row_spec, row_spec,
+            full((dim, hidden)), full((1, hidden)), full((1, hidden)),
+            full((hidden, dim)), full((1, dim)), full((1, dim)),
+        ],
+        out_specs=[row_spec, row_spec, smem_scalar, smem_scalar, smem_scalar],
+        out_shape=[
+            _vma_struct((batch, dim), y.dtype, y),
+            _vma_struct((batch, dim), y.dtype, y),
+            _vma_struct((1, 1), f32, y),
+            _vma_struct((1, 1), f32, y),
+            _vma_struct((1, 1), f32, y),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(t2, dt2, y, k1, w1x, w1t, b1, w2h, w2t, b2)
+    y_new, k7, errssq, numssq, denssq = out
+    return y_new, k7, errssq[0, 0], numssq[0, 0], denssq[0, 0]
+
+
+def _normed_pallas_bwd(t, dt, y, k1, parts, cotangents, rtol, atol,
+                       block_batch: int = 64):
+    if _interpret_under_shard_map(y):
+        with jax.default_matmul_precision("highest"):
+            _, vjp_fn = jax.vjp(
+                lambda *a: _reference_normed_sweep(*a, rtol, atol),
+                t, dt, y, k1, parts,
+            )
+            return vjp_fn(cotangents)
+    batch, dim = y.shape
+    bt = _pick_block(batch, block_batch)
+    grid = (pl.cdiv(batch, bt),)
+    w1x, w1t, b1, w2h, w2t, b2 = parts
+    hidden = w1x.shape[1]
+    _, bwd_kernel = _make_normed_kernels(rtol, atol)
+    cyn, ck7, cerrssq, cnumssq, cdenssq = cotangents
+
+    t2 = jnp.reshape(t.astype(jnp.float32), (1, 1))
+    dt2 = jnp.reshape(dt.astype(jnp.float32), (1, 1))
+    cerr2 = jnp.reshape(cerrssq.astype(jnp.float32), (1, 1))
+    cnum2 = jnp.reshape(cnumssq.astype(jnp.float32), (1, 1))
+    cden2 = jnp.reshape(cdenssq.astype(jnp.float32), (1, 1))
+    (t2, dt2, w1x, w1t, b1, w2h, w2t, b2, cerr2, cnum2, cden2) = _pvary_like(
+        y, t2, dt2, w1x, w1t, b1, w2h, w2t, b2, cerr2, cnum2, cden2)
+
+    row_spec = pl.BlockSpec((bt, dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem_scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        bwd_kernel,
+        grid=grid,
+        in_specs=[
+            smem_scalar, smem_scalar,
+            row_spec, row_spec,
+            full((dim, hidden)), full((1, hidden)), full((1, hidden)),
+            full((hidden, dim)), full((1, dim)), full((1, dim)),
+            row_spec, row_spec,
+            smem_scalar, smem_scalar, smem_scalar,
+        ],
+        out_specs=[
+            row_spec, row_spec,
+            full((dim, hidden)), full((1, hidden)), full((1, hidden)),
+            full((hidden, dim)), full((1, dim)), full((1, dim)),
+            smem_scalar, smem_scalar,
+        ],
+        out_shape=[
+            _vma_struct((batch, dim), y.dtype, y),
+            _vma_struct((batch, dim), y.dtype, y),
+            _vma_struct((dim, hidden), f32, y),
+            _vma_struct((1, hidden), f32, y),
+            _vma_struct((1, hidden), f32, y),
+            _vma_struct((hidden, dim), f32, y),
+            _vma_struct((1, dim), f32, y),
+            _vma_struct((1, dim), f32, y),
+            _vma_struct((1, 1), f32, y),
+            _vma_struct((1, 1), f32, y),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(t2, dt2, y, k1, w1x, w1t, b1, w2h, w2t, b2,
+      cyn, ck7, cerr2, cnum2, cden2)
+
+    cy, ck1, cw1x, cw1t, cb1, cw2h, cw2t, cb2, ct_t, ct_dt = out
+    (cw1x, cw1t, cb1, cw2h, cw2t, cb2, ct_t, ct_dt) = _psum_cts(
+        y, cw1x, cw1t, cb1, cw2h, cw2t, cb2, ct_t, ct_dt)
+    ct_t = ct_t[0, 0].astype(jnp.result_type(t))
+    ct_dt = ct_dt[0, 0].astype(jnp.result_type(dt))
+    cparts = (cw1x, cw1t, cb1, cw2h, cw2t, cb2)
+    return ct_t, ct_dt, cy, ck1, cparts
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_step_normed(t, dt, y, k1, parts, rtol, atol):
+    return _normed_pallas_fwd(t, dt, y, k1, parts, rtol, atol)
+
+
+def _fused_step_normed_fwd(t, dt, y, k1, parts, rtol, atol):
+    return (_normed_pallas_fwd(t, dt, y, k1, parts, rtol, atol),
+            (t, dt, y, k1, parts))
+
+
+def _fused_step_normed_bwd(rtol, atol, residuals, cotangents):
+    t, dt, y, k1, parts = residuals
+    if USE_PALLAS_BWD:
+        return _normed_pallas_bwd(t, dt, y, k1, parts, cotangents, rtol, atol)
+    with jax.default_matmul_precision("highest"):
+        _, vjp_fn = jax.vjp(
+            lambda *a: _reference_normed_sweep(*a, rtol, atol),
+            t, dt, y, k1, parts,
+        )
+        return vjp_fn(cotangents)
+
+
+_fused_step_normed.defvjp(_fused_step_normed_fwd, _fused_step_normed_bwd)
+
+
+def mlp_dynamics_normed_sweep(t, dt, y, k1, params, rtol, atol):
+    """Normed ``stage_sweep`` for ``ops.ode.odeint``: the fused trial step
+    whose error/stiffness reductions happen inside the kernel; returns an
+    ``ops.ode.NormedSweep`` (composes with ``axis_name`` data parallelism)."""
+    from regneuralde_tpu.ops.ode import NormedSweep
+
+    y_new, k7, err_ssq, num_ssq, den_ssq = _fused_step_normed(
+        t, dt, y, k1, _split_params(params), float(rtol), float(atol)
+    )
+    return NormedSweep(y_new, k7, err_ssq, num_ssq, den_ssq)
