@@ -1,13 +1,18 @@
-"""Headline benchmark: MNIST Neural-ODE regularized training throughput.
+"""Headline benchmark: both north-star metrics (BASELINE.json).
 
-Measures the north-star metric (BASELINE.md): wall-clock training
-throughput of the flagship MNIST Neural-ODE classifier with error-estimate
-regularization at the reference configuration (batch 512, Tsit5,
-rtol=atol=1.4e-8, lambda=1e2, InvDecay+Momentum — reference:
-experiments/mnist_node.jl:115-130), running entirely on the accelerator as
-one jitted program per step.
+1. MNIST Neural-ODE regularized training throughput — wall-clock
+   throughput of the flagship classifier with error-estimate
+   regularization at the reference configuration (batch 512, Tsit5,
+   rtol=atol=1.4e-8, lambda=1e2, InvDecay+Momentum — reference:
+   experiments/mnist_node.jl:115-130), one jitted program per step.
+2. Physionet latent-ODE training throughput — the regularized latent-ODE
+   train step (batch 256, saveat=49 stamps, Tsit5 rtol=atol=1.4e-8 —
+   reference: experiments/latent_ode.jl:104-192) on the physionet-schema
+   data (real bundle when present, synthetic surrogate otherwise).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+primary (MNIST) metric, with the latent-ODE numbers carried as extra keys
+(``latent_ode_samples_per_sec``, ``latent_ode_vs_baseline``).
 
 ``vs_baseline`` compares against the reference's CPU training throughput
 stand-in recorded in BASELINE.md. The reference repo publishes no numbers
@@ -51,6 +56,15 @@ MEASURE = 10
 # batch-size-invariant because flops scale linearly and the adaptive step
 # count is set by the global error norm). See BASELINE.md.
 CPU_BASELINE_SAMPLES_PER_SEC = 106.5
+
+# Latent-ODE stand-in measured the same way (XLA:CPU one core, batch 64,
+# regularized latent-ODE train step on the physionet-schema surrogate:
+# 655.9 samples/s at nfe=206 — the tiny latent model is far less
+# BLAS-bound than the MNIST dynamics, so the CPU does relatively better).
+LATENT_BATCH = 256
+LATENT_MAX_STEPS = 256
+LATENT_CPU_BASELINE_SAMPLES_PER_SEC = 655.9
+LATENT_MEASURE = 6
 
 
 def build():
@@ -104,6 +118,94 @@ def build():
     return train_step, create_train_state(params, optimizer), batches
 
 
+def build_latent():
+    """The latent-ODE regularized train step at the reference shape
+    (experiments/latent_ode.jl:104-192): masked-GRU encoder, latent-20 ODE
+    with AlternatingMLP dynamics decoded at the 49 stamps, masked Gaussian
+    LL (sigma=0.01) + KL + EEst*dt regularizer."""
+    import jax.numpy as jnp
+    import optax
+
+    from regneuralde_tpu import reg
+    from regneuralde_tpu.data import load_physionet
+    from regneuralde_tpu.models import (
+        MLP, AlternatingMLP, LatentGRU, LatentTimeSeriesModel, NeuralODE)
+    from regneuralde_tpu.training import (
+        TrainState, create_train_state, latent_ode_optimizer)
+
+    train_loader, _ = load_physionet(LATENT_BATCH, seed=0)
+    batches = []
+    while len(batches) < WARMUP + LATENT_MEASURE:
+        for b in train_loader:
+            if b[0].shape[0] == LATENT_BATCH:
+                batches.append(tuple(jnp.asarray(a) for a in b[:6]))
+            if len(batches) >= WARMUP + LATENT_MEASURE:
+                break
+    d0, m0, _, _, tp0, _ = batches[0]
+    saveat = jnp.sort(tp0[0])
+
+    node = NeuralODE(
+        AlternatingMLP(dim=20, hidden=50, depth=4), time_dep=False,
+        solver="tsit5", rtol=1.4e-8, atol=1.4e-8,
+        max_steps=LATENT_MAX_STEPS, saveat=saveat,
+        fused=jax.default_backend() != "cpu",
+    )
+    import flax.linen as nn
+
+    model = LatentTimeSeriesModel(
+        rnn=LatentGRU(in_dim=37, hidden=40, latent_dim=50),
+        enc=MLP(features=(50, 2 * 20)), node=node, dec=nn.Dense(37))
+
+    def inputs(d, m, tp):
+        dt = jnp.concatenate([tp[:, 1:] - tp[:, :-1],
+                              jnp.zeros_like(tp[:, :1])], 1)
+        return jnp.concatenate([d, m, dt[..., None]], axis=-1)
+
+    params = model.init(jax.random.PRNGKey(3), inputs(d0, m0, tp0))
+    optimizer = latent_ode_optimizer()
+    sigma = 0.01
+
+    def loss_fn(params, d, m, tp, key):
+        out = model(params, inputs(d, m, tp), key, saveat=saveat)
+        err = (out.result - d) * m
+        ll = jnp.sum(-jnp.square(err) / (2 * sigma**2), axis=(1, 2))
+        ll = ll / jnp.maximum(jnp.sum(m, axis=(1, 2)), 1.0)
+        kl = jnp.mean(jnp.exp(out.logvar) + jnp.square(out.mu0) - 1
+                      - out.logvar, axis=-1) / 2
+        r = reg.error_estimate(out.telemetry, agg="mean")
+        return -jnp.mean(ll - kl) + 1e3 * r, out.nfe
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, d, m, tp, key):
+        (loss, nfe), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, d, m, tp, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss, nfe
+
+    return train_step, create_train_state(params, optimizer), batches
+
+
+def measure_latent():
+    import numpy as np
+
+    train_step, state, batches = build_latent()
+    key = jax.random.PRNGKey(9)
+    for d, m, _, _, tp, _ in batches[:WARMUP]:
+        key, sk = jax.random.split(key)
+        state, loss, nfe = train_step(state, d, m, tp, sk)
+    float(np.asarray(loss))
+
+    t0 = time.perf_counter()
+    for d, m, _, _, tp, _ in batches[WARMUP:WARMUP + LATENT_MEASURE]:
+        key, sk = jax.random.split(key)
+        state, loss, nfe = train_step(state, d, m, tp, sk)
+    float(np.asarray(loss))
+    dt = time.perf_counter() - t0
+    return LATENT_BATCH * LATENT_MEASURE / dt, int(nfe)
+
+
 def main():
     import numpy as np
 
@@ -123,12 +225,19 @@ def main():
     dt = time.perf_counter() - t0
 
     samples_per_sec = BATCH * MEASURE / dt
+
+    latent_sps, latent_nfe = measure_latent()
+
     print(json.dumps({
         "metric": "mnist_node_regularized_train_throughput",
         "value": round(samples_per_sec, 2),
         "unit": "samples/sec (batch 512, Tsit5 rtol=1.4e-8, reg on, "
                 f"nfe_per_step={int(nfe)})",
         "vs_baseline": round(samples_per_sec / CPU_BASELINE_SAMPLES_PER_SEC, 2),
+        "latent_ode_samples_per_sec": round(latent_sps, 2),
+        "latent_ode_nfe_per_step": latent_nfe,
+        "latent_ode_vs_baseline": round(
+            latent_sps / LATENT_CPU_BASELINE_SAMPLES_PER_SEC, 2),
     }))
 
 

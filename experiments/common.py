@@ -53,6 +53,10 @@ def parse_args(default_config: str) -> argparse.Namespace:
     p.add_argument("--steer", type=lambda s: s.lower() == "true", default=None)
     p.add_argument("--max-steps", type=int, default=None,
                    help="solver trial-step bound")
+    p.add_argument("--lam-r0", type=float, default=None,
+                   help="override the solver-regularizer lambda schedule start")
+    p.add_argument("--lam-r1", type=float, default=None,
+                   help="override the solver-regularizer lambda schedule end")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--data-parallel", type=int, default=None, metavar="N",
                    help="run data-parallel over N mesh devices")

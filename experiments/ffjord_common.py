@@ -32,6 +32,9 @@ def run_ffjord_experiment(args, h, run_dir, seed, train_loader, test_loader,
         atol=1.4e-8,
         max_steps=max_steps,
         analytic_vjp=True,
+        # Fused Pallas trial step (augmented CSL dynamics incl. the
+        # analytic Hutchinson product) on accelerators.
+        fused=jax.default_backend() != "cpu",
     )
     x0 = jnp.asarray(train_loader.first_batch())
     params = ff.init(jax.random.PRNGKey(seed), x0)

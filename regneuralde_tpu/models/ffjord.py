@@ -58,10 +58,16 @@ class FFJORD:
         max_steps: int = 256,
         analytic_vjp: bool = True,
         axis_name: Optional[str] = None,
+        fused: bool = False,
     ):
         """``dynamics`` is called as ``m(z, t)``. With ``analytic_vjp`` the
         module must expose ``forw_n_back(z, t, e) -> (f, eJ)`` (e.g.
-        ``models.basic.CSLDynamics``); otherwise ``jax.vjp`` is used."""
+        ``models.basic.CSLDynamics``); otherwise ``jax.vjp`` is used.
+
+        ``fused=True`` (CSLDynamics + tsit5 only) runs each trial step as
+        one VMEM-resident Pallas kernel — all six augmented-dynamics
+        evaluations incl. the analytic Hutchinson product, plus the
+        error/stiffness norm reductions (``ops.pallas_generic``)."""
         self.dynamics = dynamics
         self.input_dim = input_dim
         self.tspan = tspan
@@ -71,6 +77,16 @@ class FFJORD:
         self.max_steps = max_steps
         self.analytic_vjp = analytic_vjp and hasattr(dynamics, "forw_n_back")
         self.axis_name = axis_name
+        from regneuralde_tpu.models.basic import CSLDynamics as _CSL
+
+        if fused and not (
+            solver == "tsit5" and isinstance(dynamics, _CSL) and self.analytic_vjp
+        ):
+            raise ValueError(
+                "fused=True requires solver='tsit5', CSLDynamics dynamics, "
+                "and analytic_vjp"
+            )
+        self.fused = fused
 
     def init(self, key: jax.Array, x: jnp.ndarray) -> Any:
         t0 = jnp.asarray(self.tspan[0], jnp.float32)
@@ -107,13 +123,20 @@ class FFJORD:
         *,
         kinetic_reg: bool = False,
         e: Optional[jnp.ndarray] = None,
-        mode: str = "scan",
+        mode: str = "adjoint",
     ) -> FFJORDOutput:
         batch = x.shape[0]
         if e is None:
             e = jax.random.normal(key, x.shape, x.dtype)
         n_aux = 3 if kinetic_reg else 1
         u0 = jnp.concatenate([x, jnp.zeros((batch, n_aux), x.dtype)], axis=-1)
+        stage_sweep = None
+        if self.fused:
+            from regneuralde_tpu.ops.pallas_generic import make_csl_ffjord_sweep
+
+            stage_sweep = make_csl_ffjord_sweep(
+                params, e, self.input_dim, kinetic_reg, self.rtol, self.atol
+            )
         sol = odeint(
             self._aug_dynamics(kinetic_reg, e),
             u0,
@@ -126,6 +149,7 @@ class FFJORD:
             max_steps=self.max_steps,
             mode=mode,
             axis_name=self.axis_name,
+            stage_sweep=stage_sweep,
         )
         pred = sol.y1
         z = pred[:, : self.input_dim]

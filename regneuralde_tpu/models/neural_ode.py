@@ -73,15 +73,22 @@ class NeuralODE:
         self.max_steps = max_steps
         self.saveat = saveat
         self.axis_name = axis_name
-        # Fused Pallas trial step: the whole Tsit5 stage sweep (six MLP
-        # evaluations + stage lincombs + embedded error) runs VMEM-resident
-        # in one kernel per batch tile. Only valid for MLPDynamics-shaped
-        # dynamics under the tsit5 tableau.
-        from regneuralde_tpu.models.basic import MLPDynamics as _MLPD
+        # Fused Pallas trial step: the whole Tsit5 stage sweep (six
+        # dynamics evaluations + stage lincombs + embedded error + norm
+        # reductions) runs VMEM-resident in one kernel per batch tile.
+        # Supported dynamics: MLPDynamics (hand-tuned kernel pair) and
+        # AlternatingMLP (generic vjp-traced kernel builder).
+        from regneuralde_tpu.models.basic import (
+            AlternatingMLP as _AltMLP,
+            MLPDynamics as _MLPD,
+        )
 
-        if fused and not (solver == "tsit5" and isinstance(dynamics, _MLPD)):
+        if fused and not (
+            solver == "tsit5" and isinstance(dynamics, (_MLPD, _AltMLP))
+        ):
             raise ValueError(
-                "fused=True requires solver='tsit5' and MLPDynamics dynamics"
+                "fused=True requires solver='tsit5' and MLPDynamics or "
+                "AlternatingMLP dynamics"
             )
         self.fused = fused
 
@@ -112,11 +119,24 @@ class NeuralODE:
             # Normed variant: the error/stiffness reductions happen inside
             # the kernel (NormedSweep scalars; the solver psums them under
             # axis_name, so fused composes with data parallelism).
-            from regneuralde_tpu.ops.pallas_mlp import mlp_dynamics_normed_sweep
+            from regneuralde_tpu.models.basic import MLPDynamics as _MLPD
 
-            stage_sweep = lambda t, dt, y, f0, p: mlp_dynamics_normed_sweep(
-                t, dt, y, f0, p, self.rtol, self.atol
-            )
+            if isinstance(self.dynamics, _MLPD):
+                from regneuralde_tpu.ops.pallas_mlp import (
+                    mlp_dynamics_normed_sweep,
+                )
+
+                stage_sweep = lambda t, dt, y, f0, p: mlp_dynamics_normed_sweep(
+                    t, dt, y, f0, p, self.rtol, self.atol
+                )
+            else:  # AlternatingMLP via the generic builder
+                from regneuralde_tpu.ops.pallas_generic import (
+                    make_alternating_mlp_sweep,
+                )
+
+                stage_sweep = make_alternating_mlp_sweep(
+                    params, self.dynamics.depth, self.rtol, self.atol
+                )
         sol = odeint(
             self._func,
             x,

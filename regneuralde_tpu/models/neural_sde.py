@@ -92,7 +92,7 @@ class NeuralSDE:
         *,
         tspan: Optional[Tuple] = None,
         saveat: Optional[jnp.ndarray] = None,
-        mode: str = "scan",
+        mode: str = "adjoint",
     ) -> NeuralSDEOutput:
         t0, t1 = tspan if tspan is not None else self.tspan
         saveat = saveat if saveat is not None else self.saveat

@@ -331,7 +331,7 @@ class _AdjointHist(NamedTuple):
 
 def _make_adjoint_solve(
     func, tab, ctrl, rtol, atol, saveat, axis_name, stage_sweep,
-    max_steps, time_dtype, err_dtype,
+    max_steps, time_dtype, err_dtype, bwd_precision,
 ):
     """Build the custom_vjp'd solve for one (static-config) odeint call.
 
@@ -443,6 +443,20 @@ def _make_adjoint_solve(
         return outs, (hist, nsteps, t0, t1, y0, f0_init, ys_buf_init, args)
 
     def solve_bwd(res, cts):
+        # PRECISION IS LOAD-BEARING: this function is traced lazily during
+        # backward-pass construction, OUTSIDE the default_matmul_precision
+        # context that wrapped the forward solve. The replay re-traces the
+        # dynamics' contractions here — at the TPU's bf16 default they
+        # would feed the EEst/controller pullback ~4e-3 relative noise,
+        # which the ~1/tol amplification turns into garbage gradients
+        # (observed: 60x-wrong params grads at rtol=1e-5 on TPU; CPU is
+        # immune because its default matmul is exact f32).
+        if bwd_precision is not None:
+            with jax.default_matmul_precision(bwd_precision):
+                return _solve_bwd_impl(res, cts)
+        return _solve_bwd_impl(res, cts)
+
+    def _solve_bwd_impl(res, cts):
         hist, nsteps, t0, t1, y0, f0_init, ys_buf_init, args = res
         (ct_y1, ct_ysbuf, ct_tel, ct_tf, ct_dtf, ct_qoldf,
          _ct_na, _ct_nr, _ct_done) = cts
@@ -547,6 +561,7 @@ def odeint(
     axis_name: Optional[str] = None,
     matmul_precision: Optional[str] = "highest",
     stage_sweep: Optional[Callable] = None,
+    _bwd_precision: Optional[str] = None,
 ) -> ODESolution:
     """Integrate ``dy/dt = func(t, y, args)`` from ``t0`` to ``t1``.
 
@@ -591,6 +606,7 @@ def odeint(
                 max_steps=max_steps, saveat=saveat, controller=controller,
                 mode=mode, remat=remat, axis_name=axis_name,
                 matmul_precision=None, stage_sweep=stage_sweep,
+                _bwd_precision=matmul_precision,
             )
     tab = get_tableau(solver)
     ctrl = controller or PIController.for_order(tab.order)
@@ -650,7 +666,7 @@ def odeint(
     if mode == "adjoint":
         solve = _make_adjoint_solve(
             func, tab, ctrl, rtol, atol, saveat, axis_name, stage_sweep,
-            max_steps, time_dtype, err_dtype,
+            max_steps, time_dtype, err_dtype, _bwd_precision,
         )
         ys_init = ys_buf if ys_buf is not None else ()
         (y1, ys_out, tel, _tf, _dtf, _qoldf, naccept, nreject, done) = solve(

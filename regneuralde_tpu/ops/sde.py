@@ -164,6 +164,7 @@ def sdeint(
     remat: bool = True,
     axis_name: Optional[str] = None,
     matmul_precision: Optional[str] = "highest",
+    _bwd_precision: Optional[str] = None,
 ) -> SDESolution:
     """Integrate ``dy = drift dt + diffusion dW`` (diagonal noise).
 
@@ -181,7 +182,7 @@ def sdeint(
                 key=key, solver=solver, rtol=rtol, atol=atol, dt0=dt0,
                 max_steps=max_steps, saveat=saveat, controller=controller,
                 mode=mode, remat=remat, axis_name=axis_name,
-                matmul_precision=None,
+                matmul_precision=None, _bwd_precision=matmul_precision,
             )
     time_dtype = jnp.result_type(jnp.asarray(t0).dtype, jnp.float32)
     t0 = jnp.asarray(t0, time_dtype)
@@ -242,78 +243,86 @@ def sdeint(
         ys_buf=ys_buf,
     )
 
-    def step(carry: _Carry):
-        t, dt, y = carry.t, carry.dt, carry.y
-        remaining = t1 - t
-        is_last = dt >= remaining
-        dt_eff = jnp.where(is_last, remaining, dt)
+    def make_step(t1, span, args):
+        # Factory so the adjoint backward can rebuild the identical step
+        # with traced (t1, span, args) for per-step jax.vjp replay.
+        def step(carry: _Carry):
+            t, dt, y = carry.t, carry.dt, carry.y
+            remaining = t1 - t
+            is_last = dt >= remaining
+            dt_eff = jnp.where(is_last, remaining, dt)
 
-        key_next, sub = jax.random.split(carry.key)
-        dw, dz, tail_acc, tail_rej = _sample_increment(sub, carry.tail, dt_eff)
+            key_next, sub = jax.random.split(carry.key)
+            dw, dz, tail_acc, tail_rej = _sample_increment(sub, carry.tail, dt_eff)
 
-        y_new, err, stage_info = sri_step(
-            tableau, drift, diffusion, args, t, y, dt_eff, dw, dz
-        )
-        eest = error_ratio(err, y, y_new, rtol, atol, axis_name=axis_name)
-        accept = eest <= 1.0
+            y_new, err, stage_info = sri_step(
+                tableau, drift, diffusion, args, t, y, dt_eff, dw, dz
+            )
+            eest = error_ratio(err, y, y_new, rtol, atol, axis_name=axis_name)
+            accept = eest <= 1.0
 
-        # Stiffness estimate: dominant-eigenvalue proxy from the last two
-        # distinct drift stages, ||f_b - f_a|| / ||H0_b - H0_a|| — the
-        # shape OrdinaryDiffEq's composite algorithms use for eigen_est
-        # (the reference's stiff_est input, experiments/mnist_nsde.jl:51-61).
-        f_a, f_b, h_a, h_b = stage_info
-        num = hairer_norm(tree_sub(f_b, f_a), axis_name=axis_name)
-        den = hairer_norm(tree_sub(h_b, h_a), axis_name=axis_name)
-        eigen_est = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
+            # Stiffness estimate: dominant-eigenvalue proxy from the last two
+            # distinct drift stages, ||f_b - f_a|| / ||H0_b - H0_a|| — the
+            # shape OrdinaryDiffEq's composite algorithms use for eigen_est
+            # (the reference's stiff_est input, experiments/mnist_nsde.jl:51-61).
+            f_a, f_b, h_a, h_b = stage_info
+            num = hairer_norm(tree_sub(f_b, f_a), axis_name=axis_name)
+            den = hairer_norm(tree_sub(h_b, h_a), axis_name=axis_name)
+            eigen_est = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
 
-        dt_next, qold_next = ctrl.propose(dt_eff, eest, qold=carry.qold, accept=accept)
-        dt_next = jnp.minimum(dt_next, span).astype(time_dtype)
-        qold_next = qold_next.astype(carry.qold.dtype)
+            dt_next, qold_next = ctrl.propose(dt_eff, eest, qold=carry.qold, accept=accept)
+            dt_next = jnp.minimum(dt_next, span).astype(time_dtype)
+            qold_next = qold_next.astype(carry.qold.dtype)
 
-        t_new = jnp.where(accept, jnp.where(is_last, t1, t + dt_eff), t)
-        done_new = accept & is_last
-        y_out = tree_where(accept, y_new, y)
-        tail_out = jax.tree_util.tree_map(
-            lambda a, r: jnp.where(accept, a, r), tail_acc, tail_rej
-        )
+            t_new = jnp.where(accept, jnp.where(is_last, t1, t + dt_eff), t)
+            done_new = accept & is_last
+            y_out = tree_where(accept, y_new, y)
+            tail_out = jax.tree_util.tree_map(
+                lambda a, r: jnp.where(accept, a, r), tail_acc, tail_rej
+            )
 
-        ys_out = carry.ys_buf
-        if saveat is not None:
-            t_end = jnp.where(is_last, t1, t + dt_eff)
-            in_window = accept & (saveat - t > 0) & (saveat - t_end <= 0)
-            theta = (saveat - t) / jnp.where(dt_eff == 0, 1.0, dt_eff)
+            ys_out = carry.ys_buf
+            if saveat is not None:
+                t_end = jnp.where(is_last, t1, t + dt_eff)
+                in_window = accept & (saveat - t > 0) & (saveat - t_end <= 0)
+                theta = (saveat - t) / jnp.where(dt_eff == 0, 1.0, dt_eff)
 
-            def lin(buf, y0l, y1l):
-                th = theta.reshape((-1,) + (1,) * y0l.ndim).astype(y0l.dtype)
-                yi = (1 - th) * y0l + th * y1l
-                return jnp.where(
-                    in_window.reshape((-1,) + (1,) * y0l.ndim), yi, buf
-                )
+                def lin(buf, y0l, y1l):
+                    th = theta.reshape((-1,) + (1,) * y0l.ndim).astype(y0l.dtype)
+                    yi = (1 - th) * y0l + th * y1l
+                    return jnp.where(
+                        in_window.reshape((-1,) + (1,) * y0l.ndim), yi, buf
+                    )
 
-            ys_out = jax.tree_util.tree_map(lin, carry.ys_buf, y, y_new)
+                ys_out = jax.tree_util.tree_map(lin, carry.ys_buf, y, y_new)
 
-        new_carry = _Carry(
-            t=t_new,
-            dt=dt_next,
-            qold=qold_next,
-            y=y_out,
-            done=done_new,
-            step=carry.step + 1,
-            naccept=carry.naccept + accept.astype(jnp.int32),
-            nreject=carry.nreject + (~accept).astype(jnp.int32),
-            key=key_next,
-            tail=tail_out,
-            ys_buf=ys_out,
-        )
-        out = StepTelemetry(
-            t=jnp.where(is_last, t1, t + dt_eff),
-            dt=dt_eff,
-            eest=eest,
-            eigen_est=eigen_est,
-            accepted=accept,
-            live=jnp.asarray(True),
-        )
-        return new_carry, out
+            new_carry = _Carry(
+                t=t_new,
+                dt=dt_next,
+                qold=qold_next,
+                y=y_out,
+                done=done_new,
+                step=carry.step + 1,
+                naccept=carry.naccept + accept.astype(jnp.int32),
+                nreject=carry.nreject + (~accept).astype(jnp.int32),
+                key=key_next,
+                tail=tail_out,
+                ys_buf=ys_out,
+            )
+            out = StepTelemetry(
+                t=jnp.where(is_last, t1, t + dt_eff),
+                dt=dt_eff,
+                eest=eest,
+                eigen_est=eigen_est,
+                accepted=accept,
+                live=jnp.asarray(True),
+            )
+            return new_carry, out
+
+        return step
+
+    step = make_step(t1, span, args)
+
 
     # EEst/eigen_est dtype follows the state dtype (float64 under x64);
     # the noop branch must emit identical types for lax.cond.
@@ -332,7 +341,19 @@ def sdeint(
         )
         return carry, out
 
-    if mode == "scan":
+    if mode == "adjoint":
+        # Differentiable early-exit solve, mirroring ops.ode's adjoint
+        # mode: while_loop forward storing the per-trial-step carry (incl.
+        # the Brownian tail, so the replay reproduces the exact sampled
+        # path), custom reverse while_loop jax.vjp-replaying only live
+        # steps. The RNG key history is replayed as a non-differentiable
+        # input; gradients flow through dW/dZ via the stored tail and the
+        # bridge's dt-dependent scale exactly as in scan mode.
+        final, tel = _sde_adjoint_solve(
+            make_step, init, t0, t1, span, args, max_steps,
+            time_dtype, eest_dtype, _bwd_precision,
+        )
+    elif mode == "scan":
         body = lambda c: lax.cond(c.done, noop, step, c)
         if remat:
             body = jax.checkpoint(body)
@@ -358,7 +379,9 @@ def sdeint(
             lambda s: (~s[0].done) & (s[0].step < max_steps), while_body, (init, tel0)
         )
     else:
-        raise ValueError(f"unknown mode {mode!r}")
+        raise ValueError(
+            f"unknown mode {mode!r}; use 'adjoint', 'scan' or 'while'"
+        )
 
     nsteps = final.naccept + final.nreject
     stats = SDEStats(
@@ -369,6 +392,216 @@ def sdeint(
         success=final.done,
     )
     return SDESolution(y1=final.y, ys=final.ys_buf, ts=saveat, stats=stats, telemetry=tel)
+
+
+class _SDEHist(NamedTuple):
+    t: jnp.ndarray
+    dt: jnp.ndarray
+    qold: jnp.ndarray
+    tail_h: jnp.ndarray
+    key: jnp.ndarray  # (max_steps, 2) uint32 — replayed, not differentiated
+    y: Pytree
+    tail_w: Pytree
+    tail_z: Pytree
+
+
+def _sde_adjoint_solve(make_step, init, t0, t1, span, args, max_steps,
+                       time_dtype, eest_dtype, bwd_precision):
+    """while_loop forward + custom reverse while_loop over live steps (the
+    SDE counterpart of ops.ode's mode="adjoint"). Not twice-differentiable."""
+    from regneuralde_tpu.ops.ode import _materialize, _materialize_tree
+
+    y0 = init.y
+    has_ys = init.ys_buf is not None
+    ys_init = init.ys_buf if has_ys else ()
+    tail0 = init.tail
+    key0 = init.key
+
+    def vbuf(tree):
+        def mk(l):
+            buf = jnp.zeros((max_steps,) + l.shape, l.dtype)
+            vma = tuple(
+                sorted(getattr(jax.typeof(l), "vma", frozenset()) or ())
+            )
+            return jax.lax.pvary(buf, vma) if vma else buf
+
+        return jax.tree_util.tree_map(mk, tree)
+
+    def replay(t, dt, qold, y, tail_h, tail_w, tail_z, ys_buf, t1_, span_,
+               args_, key_):
+        carry = _Carry(
+            t=t, dt=dt, qold=qold, y=y,
+            done=jnp.asarray(False),
+            step=jnp.asarray(0, jnp.int32),
+            naccept=jnp.asarray(0, jnp.int32),
+            nreject=jnp.asarray(0, jnp.int32),
+            key=key_,
+            tail=_Tail(h=tail_h, w=tail_w, z=tail_z),
+            ys_buf=ys_buf if has_ys else None,
+        )
+        new, tl = make_step(t1_, span_, args_)(carry)
+        return (new.t, new.dt, new.qold, new.y, new.tail.h, new.tail.w,
+                new.tail.z, new.ys_buf if has_ys else (),
+                tl.t, tl.dt, tl.eest, tl.eigen_est)
+
+    def _forward(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_, key_, args_):
+        step_fn = make_step(t1_, span_, args_)
+        tel0 = StepTelemetry(
+            t=jnp.zeros((max_steps,), time_dtype),
+            dt=jnp.zeros((max_steps,), time_dtype),
+            eest=jnp.zeros((max_steps,), eest_dtype),
+            eigen_est=jnp.zeros((max_steps,), eest_dtype),
+            accepted=jnp.zeros((max_steps,), bool),
+            live=jnp.zeros((max_steps,), bool),
+        )
+        hist0 = _SDEHist(
+            t=jnp.zeros((max_steps,), time_dtype),
+            dt=jnp.zeros((max_steps,), time_dtype),
+            qold=jnp.zeros((max_steps,), init.qold.dtype),
+            tail_h=jnp.zeros((max_steps,), time_dtype),
+            key=jnp.zeros((max_steps,) + key_.shape, key_.dtype),
+            y=vbuf(y0_),
+            tail_w=vbuf(tail0_.w),
+            tail_z=vbuf(tail0_.z),
+        )
+        start = _Carry(
+            t=t0_, dt=dt_init, qold=init.qold, y=y0_,
+            done=init.done, step=init.step,
+            naccept=init.naccept, nreject=init.nreject,
+            key=key_, tail=tail0_,
+            ys_buf=ys_init_ if has_ys else None,
+        )
+
+        def cond(state):
+            carry, _, _ = state
+            return (~carry.done) & (carry.step < max_steps)
+
+        def body(state):
+            carry, tel, hist = state
+            i = carry.step
+            setrow = lambda bt, vt: jax.tree_util.tree_map(
+                lambda b, l: b.at[i].set(l), bt, vt)
+            hist = _SDEHist(
+                t=hist.t.at[i].set(carry.t),
+                dt=hist.dt.at[i].set(carry.dt),
+                qold=hist.qold.at[i].set(carry.qold),
+                tail_h=hist.tail_h.at[i].set(carry.tail.h),
+                key=hist.key.at[i].set(carry.key),
+                y=setrow(hist.y, carry.y),
+                tail_w=setrow(hist.tail_w, carry.tail.w),
+                tail_z=setrow(hist.tail_z, carry.tail.z),
+            )
+            carry2, out = step_fn(carry)
+            tel2 = StepTelemetry(*[b.at[i].set(o) for b, o in zip(tel, out)])
+            return carry2, tel2, hist
+
+        final, tel, hist = lax.while_loop(cond, body, (start, tel0, hist0))
+        outs = (
+            final.y,
+            final.ys_buf if has_ys else (),
+            tel, final.t, final.dt, final.qold,
+            final.naccept, final.nreject, final.done,
+        )
+        return outs, hist
+
+    @jax.custom_vjp
+    def solve(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_, key_, args_):
+        outs, _ = _forward(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_,
+                           key_, args_)
+        return outs
+
+    def solve_fwd(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_, key_, args_):
+        outs, hist = _forward(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_,
+                              key_, args_)
+        nsteps = outs[6] + outs[7]
+        return outs, (hist, nsteps, t1_, span_, y0_, tail0_, ys_init_, args_)
+
+    def solve_bwd(res, cts):
+        # Traced lazily outside the forward's matmul-precision context —
+        # bake it in (see ops.ode._make_adjoint_solve).
+        if bwd_precision is not None:
+            with jax.default_matmul_precision(bwd_precision):
+                return _solve_bwd_impl(res, cts)
+        return _solve_bwd_impl(res, cts)
+
+    def _solve_bwd_impl(res, cts):
+        hist, nsteps, t1_, span_, y0_, tail0_, ys_init_, args_ = res
+        (ct_y1, ct_ysbuf, ct_tel, ct_tf, ct_dtf, ct_qoldf,
+         _na, _nr, _done) = cts
+
+        zlike = lambda tr: jax.tree_util.tree_map(jnp.zeros_like, tr)
+        ys_zero = zlike(ys_init_)
+
+        carry0 = (
+            nsteps - 1,
+            _materialize(ct_tf, jnp.zeros((), time_dtype)),
+            _materialize(ct_dtf, jnp.zeros((), time_dtype)),
+            _materialize(ct_qoldf, jnp.zeros((), hist.qold.dtype)),
+            _materialize_tree(ct_y1, y0_),
+            jnp.zeros((), time_dtype),  # ct tail.h
+            zlike(tail0_.w),
+            zlike(tail0_.z),
+            _materialize_tree(ct_ysbuf, ys_init_),
+            zlike(args_),
+            jnp.zeros((), time_dtype),  # acc ct t1
+            jnp.zeros((), time_dtype),  # acc ct span
+        )
+        ct_tel_t = _materialize(ct_tel.t, jnp.zeros((max_steps,), time_dtype))
+        ct_tel_dt = _materialize(ct_tel.dt, jnp.zeros((max_steps,), time_dtype))
+        ct_tel_e = _materialize(ct_tel.eest, jnp.zeros((max_steps,), eest_dtype))
+        ct_tel_g = _materialize(
+            ct_tel.eigen_est, jnp.zeros((max_steps,), eest_dtype))
+
+        def cond(state):
+            return state[0] >= 0
+
+        def body(state):
+            (i, ct_t, ct_dt, ct_qold, ct_y, ct_th, ct_tw, ct_tz, ct_ys,
+             ct_args, ct_t1x, ct_spanx) = state
+            row = lambda tr: jax.tree_util.tree_map(lambda b: b[i], tr)
+            prim = (
+                hist.t[i], hist.dt[i], hist.qold[i], row(hist.y),
+                hist.tail_h[i], row(hist.tail_w), row(hist.tail_z),
+                ys_zero, t1_, span_, args_, hist.key[i],
+            )
+            _, vjp_fn = jax.vjp(replay, *prim)
+            (d_t, d_dt, d_qold, d_y, d_th, d_tw, d_tz, d_ys, d_t1, d_span,
+             d_args, _d_key) = vjp_fn(
+                (ct_t, ct_dt, ct_qold, ct_y, ct_th, ct_tw, ct_tz, ct_ys,
+                 ct_tel_t[i], ct_tel_dt[i], ct_tel_e[i], ct_tel_g[i])
+            )
+            return (
+                i - 1, d_t, d_dt, d_qold, d_y, d_th, d_tw, d_tz, d_ys,
+                jax.tree_util.tree_map(jnp.add, ct_args, d_args),
+                ct_t1x + d_t1, ct_spanx + d_span,
+            )
+
+        (_, ct_t, ct_dt, ct_qold, ct_y, ct_th, ct_tw, ct_tz, ct_ys,
+         ct_args, ct_t1x, ct_spanx) = lax.while_loop(cond, body, carry0)
+
+        return (
+            ct_t,  # t0 (carry start)
+            ct_t1x,  # t1
+            ct_spanx,  # span
+            ct_dt,  # dt_init
+            ct_y,  # y0
+            _Tail(h=ct_th, w=ct_tw, z=ct_tz),  # tail0
+            ct_ys,  # ys_init
+            None,  # key (non-differentiable)
+            ct_args,
+        )
+
+    solve.defvjp(solve_fwd, solve_bwd)
+
+    (y1, ys_out, tel, t_f, dt_f, qold_f, naccept, nreject, done) = solve(
+        t0, t1, span, init.dt, y0, tail0, ys_init, key0, args
+    )
+    final = init._replace(
+        t=t_f, dt=dt_f, qold=qold_f, y=y1,
+        ys_buf=ys_out if has_ys else None,
+        naccept=naccept, nreject=nreject, done=done,
+    )
+    return final, tel
 
 
 def _em_solve(drift, diffusion, y0, t0, t1, args, key, n_steps, saveat, ys_buf, time_dtype):

@@ -169,3 +169,109 @@ class TestHairerNormZeroSafety:
         v, g = jax.value_and_grad(lambda x: hairer_norm(x))(x)
         np.testing.assert_allclose(v, 5.0 / np.sqrt(2.0), rtol=1e-6)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestSDEAdjoint:
+    """mode="adjoint" for the SDE core: while_loop forward storing the
+    carry incl. the Brownian tail, reverse while_loop over live steps."""
+
+    def _setup(self):
+        drift = lambda t, y, a: -a[0] * y
+        diff_ = lambda t, y, a: a[1] * y
+        y0 = jnp.ones((6, 4)) * 1.5
+        args = (jnp.float32(0.8), jnp.float32(0.3))
+        return drift, diff_, y0, args
+
+    def test_forward_matches_scan(self):
+        from regneuralde_tpu.ops.sde import sdeint
+
+        drift, diff_, y0, args = self._setup()
+        key = jax.random.PRNGKey(0)
+        kw = dict(key=key, solver="sosri", rtol=1e-2, atol=1e-2, max_steps=64)
+        sa = sdeint(drift, diff_, y0, 0.0, 1.0, args, mode="adjoint", **kw)
+        ss = sdeint(drift, diff_, y0, 0.0, 1.0, args, mode="scan", **kw)
+        np.testing.assert_array_equal(sa.y1, ss.y1)
+        assert int(sa.stats.naccept) == int(ss.stats.naccept)
+        assert int(sa.stats.nfe1) == int(ss.stats.nfe1)
+        assert bool(sa.stats.success)
+
+    def test_grads_match_scan(self):
+        from regneuralde_tpu.ops.sde import sdeint
+
+        drift, diff_, y0, args = self._setup()
+        key = jax.random.PRNGKey(0)
+        saveat = jnp.asarray([0.0, 0.5, 1.0])
+
+        def loss(args, y0, mode):
+            sol = sdeint(drift, diff_, y0, 0.0, 1.0, args, key=key,
+                         solver="sosri", rtol=1e-2, atol=1e-2, max_steps=64,
+                         saveat=saveat, mode=mode)
+            reg = jnp.sum(jnp.where(sol.telemetry.accepted,
+                                    sol.telemetry.eest * sol.telemetry.dt,
+                                    0.0))
+            return (jnp.sum(sol.y1**2) + 0.1 * jnp.sum(sol.ys**2)
+                    + 5.0 * reg)
+
+        ga = jax.grad(lambda a, y: loss(a, y, "adjoint"), argnums=(0, 1))(
+            args, y0)
+        gs = jax.grad(lambda a, y: loss(a, y, "scan"), argnums=(0, 1))(
+            args, y0)
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
+    def test_grads_match_scan_with_rejections(self):
+        from regneuralde_tpu.ops.sde import sdeint
+
+        # A large initial dt forces rejections so the Brownian-bridge tail
+        # path (and its replay) is exercised.
+        drift = lambda t, y, a: -20.0 * y * a
+        diff_ = lambda t, y, a: 0.5 * y
+        y0 = jnp.ones((4, 3))
+        a0 = jnp.float32(1.0)
+        key = jax.random.PRNGKey(3)
+
+        def solve(a, mode):
+            return sdeint(drift, diff_, y0, 0.0, 1.0, a, key=key,
+                          solver="sosri", rtol=1e-2, atol=1e-2,
+                          max_steps=128, dt0=0.5, mode=mode)
+
+        sa = solve(a0, "adjoint")
+        assert int(sa.stats.nreject) > 0
+        assert int(sa.stats.nreject) == int(solve(a0, "scan").stats.nreject)
+
+        def loss(a, mode):
+            return jnp.sum(solve(a, mode).y1 ** 2)
+
+        ga = jax.grad(lambda a: loss(a, "adjoint"))(a0)
+        gs = jax.grad(lambda a: loss(a, "scan"))(a0)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gs),
+                                   rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="regression is TPU-specific (bf16 matmul default)")
+def test_adjoint_grads_survive_accelerator_precision():
+    """The adjoint backward is traced outside the forward's
+    default_matmul_precision context; without baking the precision into
+    solve_bwd, replayed dynamics contractions run at the accelerator's
+    bf16 default and the controller pullback amplifies the noise into
+    ~60x-wrong parameter gradients (TPU-observed). CPU cannot catch this
+    (its default matmul is exact f32)."""
+    A = jax.random.normal(jax.random.PRNGKey(0), (8, 8)) * 0.3
+    y0 = jnp.ones((4, 8))
+
+    def f(t, y, args):
+        (A,) = args
+        return jnp.tanh(y @ A)
+
+    def loss(args, mode):
+        sol = odeint(f, y0, 0.0, 1.0, args, rtol=1e-5, atol=1e-5,
+                     max_steps=64, mode=mode)
+        return jnp.sum(sol.y1 ** 2)
+
+    ga = jax.jit(jax.grad(lambda a: loss(a, "adjoint")))((A,))
+    gs = jax.jit(jax.grad(lambda a: loss(a, "scan")))((A,))
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gs[0]),
+                               rtol=1e-3, atol=1e-5)

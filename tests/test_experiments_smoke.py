@@ -83,6 +83,8 @@ def test_bench_emits_json_line(tmp_path):
         "import jax; jax.config.update('jax_platforms', 'cpu');"
         "import bench, io, contextlib;"
         "bench.BATCH=16; bench.MAX_STEPS=32; bench.MEASURE=2; bench.WARMUP=1;"
+        "bench.LATENT_BATCH=16; bench.LATENT_MAX_STEPS=48;"
+        "bench.LATENT_MEASURE=1;"
         "buf = io.StringIO();\n"
         "with contextlib.redirect_stdout(buf): bench.main()\n"
         "print(buf.getvalue().strip().splitlines()[-1])"
@@ -92,5 +94,6 @@ def test_bench_emits_json_line(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = proc.stdout.strip().splitlines()[-1]
     obj = json.loads(line)
-    assert set(obj) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(obj)
     assert obj["value"] > 0
+    assert obj["latent_ode_samples_per_sec"] > 0
