@@ -93,12 +93,25 @@ class NeuralODE:
         self.fused = fused
 
     def init(self, key: jax.Array, x: jnp.ndarray) -> Any:
+        if not isinstance(self.dynamics, nn.Module):
+            raise TypeError(
+                "dynamics is a plain callable; its parameters are managed "
+                "externally (e.g. parallel.tp.make_tp_dynamics) — pass them "
+                "directly to __call__"
+            )
         t0 = jnp.asarray(self.tspan[0], jnp.float32)
         if self.time_dep:
             return self.dynamics.init(key, x, t0)
         return self.dynamics.init(key, x)
 
     def _func(self, t, y, p):
+        if not isinstance(self.dynamics, nn.Module):
+            # Plain-callable dynamics: f(params, y, t) / f(params, y) —
+            # the tensor-parallel path (parallel.tp) and other externally
+            # parameterized dynamics plug in here.
+            if self.time_dep:
+                return self.dynamics(p, y, t)
+            return self.dynamics(p, y)
         if self.time_dep:
             return self.dynamics.apply(p, y, t)
         return self.dynamics.apply(p, y)
