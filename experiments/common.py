@@ -44,6 +44,10 @@ def parse_args(default_config: str) -> argparse.Namespace:
                    help="override config epochs (smoke runs)")
     p.add_argument("--limit-batches", type=int, default=None,
                    help="cap train/eval batches per epoch (smoke runs)")
+    p.add_argument("--eval-batches", type=int, default=None,
+                   help="cap the per-epoch full-dataset eval sweeps only "
+                        "(training unaffected; long adaptive eval solves "
+                        "can dominate epoch wall time)")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--results-dir", default="results")
     p.add_argument("--regularize", type=lambda s: s.lower() == "true",

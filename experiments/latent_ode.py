@@ -147,9 +147,10 @@ def main():
 
     def sweep_mse(params, loader):
         """Masked MSE over the dataset (:271-292)."""
+        cap = args.eval_batches or args.limit_batches
         total, count = 0.0, 0
         for i, (d, m, _, _, tp, _) in enumerate(loader):
-            if args.limit_batches is not None and i >= args.limit_batches:
+            if cap is not None and i >= cap:
                 break
             mse, _ = eval_batch(params, jnp.asarray(d), jnp.asarray(m),
                                 jnp.asarray(tp), eval_key)

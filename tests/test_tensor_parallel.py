@@ -118,7 +118,8 @@ class TestTPDynamics:
     def test_tp_shard_placement(self):
         mesh = _mesh_2d()
         _, _, p = _setup(dim=12, hidden=8)
-        parts = shard_tp_params(mesh, split_mlp_params(p))
+        parts = shard_tp_params(mesh, split_mlp_params(p),
+                                tp_param_specs())
         # column-sharded layer-1 kernel: each model shard holds H/2 cols
         shard_shapes = {s.data.shape for s in parts.w1x.addressable_shards}
         assert shard_shapes == {(12, 4)}
