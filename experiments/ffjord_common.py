@@ -33,8 +33,10 @@ def run_ffjord_experiment(args, h, run_dir, seed, train_loader, test_loader,
         max_steps=max_steps,
         analytic_vjp=True,
         # Fused Pallas trial step (augmented CSL dynamics incl. the
-        # analytic Hutchinson product) on accelerators.
-        fused=jax.default_backend() != "cpu",
+        # analytic Hutchinson product) on accelerators; skipped for tiny
+        # state dims (2-D gaussian) where VMEM residency buys nothing and
+        # lane padding dominates.
+        fused=jax.default_backend() != "cpu" and input_dim >= 8,
     )
     x0 = jnp.asarray(train_loader.first_batch())
     params = ff.init(jax.random.PRNGKey(seed), x0)

@@ -177,8 +177,16 @@ def load_mnist(
 
 def _synthetic_physionet(n=4096, feats=37, steps=49, seed=0):
     """Irregular multivariate series with observation masks, matching the
-    physionet bundle's schema (reference: src/dataset.jl:70-77)."""
+    physionet bundle's schema (reference: src/dataset.jl:70-77).
+
+    ``REGNDE_SURROGATE_FREQ="lo,hi"`` overrides the latent oscillator
+    frequency band (default 1..6). Clinical vitals vary over hours — far
+    smoother relative to the 48h window than the default band — so
+    conditioning-matched experiments use a lower band (e.g. "0.5,2").
+    """
     rng = np.random.default_rng(seed)
+    freq = os.environ.get("REGNDE_SURROGATE_FREQ", "1.0,6.0").split(",")
+    f_lo, f_hi = float(freq[0]), float(freq[1])
     # One shared (irregularly spaced) timestamp grid across samples — the
     # physionet bundle is preprocessed onto 49 common stamps and the
     # reference uses one sample's grid as the global saveat
@@ -188,7 +196,7 @@ def _synthetic_physionet(n=4096, feats=37, steps=49, seed=0):
     tp = np.tile(grid, (n, 1))
     # latent low-dim oscillators lifted to `feats` channels
     z = rng.standard_normal((n, 4)).astype(np.float32)
-    w = rng.uniform(1.0, 6.0, size=(4,)).astype(np.float32)
+    w = rng.uniform(f_lo, f_hi, size=(4,)).astype(np.float32)
     lift = rng.standard_normal((4, feats)).astype(np.float32) * 0.7
     phase = tp[..., None] * w  # (n, steps, 4)
     latent = np.sin(2 * np.pi * phase + z[:, None, :])

@@ -162,17 +162,33 @@ class NativeDataLoader:
     def __len__(self) -> int:
         return int(self._lib.rnde_loader_batches_per_epoch(self._loader))
 
+    def _next_rows(self):
+        bufs = [np.empty((self.batch_size,) + shp, dt)
+                for shp, dt in self._arrays_meta]
+        ptrs = (ctypes.c_void_p * len(bufs))(
+            *[b.ctypes.data_as(ctypes.c_void_p) for b in bufs])
+        rows = self._lib.rnde_loader_next(self._loader, ptrs)
+        if rows < 0:
+            raise RuntimeError("native loader error")
+        return rows, bufs
+
     def __iter__(self):
+        # The C++ prefetch ring is a persistent epoch stream. If a prior
+        # consumer stopped mid-epoch (eval sweeps `break` early), the next
+        # iteration would otherwise RESUME mid-epoch — shortened "epochs",
+        # and zero-batch ones once the offsets align with the boundary.
+        # Fast-forward to the next epoch boundary so every ``for`` loop
+        # starts a fresh epoch, like the pure-Python loader.
+        while getattr(self, "_pos", 0):
+            rows, _ = self._next_rows()
+            if rows == 0:
+                self._pos = 0
         while True:
-            bufs = [np.empty((self.batch_size,) + shp, dt)
-                    for shp, dt in self._arrays_meta]
-            ptrs = (ctypes.c_void_p * len(bufs))(
-                *[b.ctypes.data_as(ctypes.c_void_p) for b in bufs])
-            rows = self._lib.rnde_loader_next(self._loader, ptrs)
-            if rows < 0:
-                raise RuntimeError("native loader error")
+            rows, bufs = self._next_rows()
             if rows == 0:  # epoch boundary
+                self._pos = 0
                 return
+            self._pos = getattr(self, "_pos", 0) + 1
             out = tuple(b[:rows] for b in bufs)
             yield out if len(out) > 1 else out[0]
 

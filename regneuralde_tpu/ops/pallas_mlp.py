@@ -173,11 +173,15 @@ def _psum_cts(like, *arrays):
 
 
 def _pick_block(batch: int, target: int = 128) -> int:
-    """Largest divisor of ``batch`` not exceeding ``target`` — tiles must
-    cover the batch exactly because the backward kernel reduces over tile
-    rows (padded rows would pollute the weight cotangents)."""
+    """Largest 8-divisible divisor of ``batch`` not exceeding ``target``.
+
+    Tiles must cover the batch exactly (the backward kernel reduces over
+    tile rows; padded rows would pollute the weight cotangents), and the
+    Pallas TPU lowering requires the sublane block dim be divisible by 8
+    OR equal to the full array dim — so when no 8-divisible divisor
+    exists (odd/partial batches), fall back to one whole-batch block."""
     for b in range(min(target, batch), 0, -1):
-        if batch % b == 0:
+        if batch % b == 0 and b % 8 == 0:
             return b
     return batch
 

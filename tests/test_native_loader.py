@@ -86,3 +86,23 @@ def test_datasets_route_through_native_loader(monkeypatch):
     monkeypatch.setenv("REGNDE_NATIVE_LOADER", "0")
     tr3, _ = load_mnist(32, flatten=True)
     assert isinstance(tr3, DataLoader)
+
+
+def test_partial_iteration_restarts_fresh_epoch():
+    """A consumer that breaks mid-epoch (eval sweeps) must not shift the
+    next iteration's window: every ``for`` loop starts a fresh epoch.
+    Regression: the C++ ring used to resume mid-epoch, eventually yielding
+    zero-batch epochs (ffjord_tabular trained 0 steps)."""
+    from regneuralde_tpu.data.datasets import _make_loader
+
+    data = np.arange(70, dtype=np.float32).reshape(7, 10)
+    loader = _make_loader((data,), 2, shuffle=False)
+    # break after 2 of 4 batches, twice
+    for _ in range(2):
+        for i, b in enumerate(loader):
+            if i >= 1:
+                break
+    counts = [sum(1 for _ in loader) for _ in range(2)]
+    assert counts == [4, 4], counts
+    first = next(iter(loader))
+    np.testing.assert_array_equal(first, data[:2])
