@@ -49,7 +49,6 @@ from regneuralde_tpu.ops.norms import (
     tree_lincomb,
     tree_sub,
     tree_where,
-    tree_zeros_like,
 )
 from regneuralde_tpu.ops.tableaus import ExplicitRKTableau, get_tableau
 
