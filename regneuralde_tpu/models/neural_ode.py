@@ -128,6 +128,7 @@ class NeuralODE:
         t0, t1 = tspan if tspan is not None else self.tspan
         saveat = saveat if saveat is not None else self.saveat
         stage_sweep = None
+        stage_sweep_bwd = None
         if self.fused:
             # Normed variant: the error/stiffness reductions happen inside
             # the kernel (NormedSweep scalars; the solver psums them under
@@ -137,10 +138,18 @@ class NeuralODE:
             if isinstance(self.dynamics, _MLPD):
                 from regneuralde_tpu.ops.pallas_mlp import (
                     mlp_dynamics_normed_sweep,
+                    mlp_dynamics_normed_sweep_bwd,
                 )
 
                 stage_sweep = lambda t, dt, y, f0, p: mlp_dynamics_normed_sweep(
                     t, dt, y, f0, p, self.rtol, self.atol
+                )
+                # Direct backward kernel for the fast adjoint path (used
+                # when saveat/axis_name are off).
+                stage_sweep_bwd = (
+                    lambda t, dt, y, k1, p, cts: mlp_dynamics_normed_sweep_bwd(
+                        t, dt, y, k1, p, cts, self.rtol, self.atol
+                    )
                 )
             else:  # AlternatingMLP via the generic builder
                 from regneuralde_tpu.ops.pallas_generic import (
@@ -164,6 +173,7 @@ class NeuralODE:
             mode=mode,
             axis_name=self.axis_name,
             stage_sweep=stage_sweep,
+            stage_sweep_bwd=stage_sweep_bwd,
         )
         if saveat is not None:
             # (time, batch, feat) -> (batch, time, feat)

@@ -134,6 +134,26 @@ def _hermite_eval(theta, h, y0, y1, f0, f1):
     return jax.tree_util.tree_map(leaf, y0, y1, f0, f1)
 
 
+def _normed_scalars(err_ssq, num_ssq, den_ssq, count, err_dtype):
+    """EEst and eigen_est from the in-kernel sums-of-squares (shared by
+    the generic step and the fast adjoint backward so both stay bitwise
+    identical). Zero-guarded (sqrt'(0)=inf; see ops.norms.hairer_norm)."""
+    eest = jnp.where(
+        err_ssq > 0,
+        jnp.sqrt(jnp.where(err_ssq > 0, err_ssq, 1.0) / count),
+        0.0,
+    )
+    # ratio of RMS norms == ratio of sqrt(ssq) (equal counts)
+    eig_num = jnp.where(
+        num_ssq > 0, jnp.sqrt(jnp.where(num_ssq > 0, num_ssq, 1.0)), 0.0)
+    eig_den = jnp.where(
+        den_ssq > 0, jnp.sqrt(jnp.where(den_ssq > 0, den_ssq, 1.0)), 0.0)
+    eigen_est = jnp.where(
+        eig_den > 0, eig_num / jnp.maximum(eig_den, 1e-30), 0.0
+    ).astype(err_dtype)
+    return eest.astype(err_dtype), eigen_est
+
+
 def _make_step_fn(
     func: Callable,
     args,
@@ -208,21 +228,9 @@ def _make_step_fn(
                 num_ssq = lax.psum(num_ssq, axis_name)
                 den_ssq = lax.psum(den_ssq, axis_name)
                 count = lax.psum(count, axis_name)
-            eest = jnp.where(
-                err_ssq > 0,
-                jnp.sqrt(jnp.where(err_ssq > 0, err_ssq, 1.0) / count),
-                0.0,
+            eest, eigen_est = _normed_scalars(
+                err_ssq, num_ssq, den_ssq, count, err_dtype
             )
-            # ratio of RMS norms == ratio of sqrt(ssq) (equal counts)
-            eig_num = jnp.where(
-                num_ssq > 0,
-                jnp.sqrt(jnp.where(num_ssq > 0, num_ssq, 1.0)), 0.0)
-            eig_den = jnp.where(
-                den_ssq > 0,
-                jnp.sqrt(jnp.where(den_ssq > 0, den_ssq, 1.0)), 0.0)
-            eigen_est = jnp.where(
-                eig_den > 0, eig_num / jnp.maximum(eig_den, 1e-30), 0.0
-            ).astype(err_dtype)
         else:
             y_new, k_last, err, k_prev, g_prev = res
             eest = error_ratio(err, y, y_new, rtol, atol, axis_name=axis_name)
@@ -527,6 +535,255 @@ def _make_adjoint_solve(
     return solve
 
 
+class _FastHist(NamedTuple):
+    t: jnp.ndarray
+    dt: jnp.ndarray
+    qold: jnp.ndarray
+    err_ssq: jnp.ndarray  # the NormedSweep scalars, so the backward never
+    num_ssq: jnp.ndarray  # has to re-run the forward kernel
+    den_ssq: jnp.ndarray
+    y: Pytree
+    f0: Pytree
+
+
+def _make_fast_adjoint_solve(
+    sweep, sweep_bwd, ctrl, max_steps, time_dtype, err_dtype, bwd_precision,
+):
+    """Specialized adjoint solve for normed fused sweeps (no saveat, no
+    axis_name): the forward stores the kernel's norm scalars per step, so
+    each backward iteration is ONE backward-kernel call plus a scalar-chain
+    vjp — no forward-kernel replay and no big-array glue. Roughly halves
+    the gradient cost of the flagship step (the general replay's jax.vjp
+    re-runs the forward kernel for primals the telemetry already holds).
+
+    Gradient contract: identical ops to the generic step/replay (the
+    scalar chain is rebuilt from the same `_normed_scalars` + controller
+    code), pinned equal to mode="scan" by tests."""
+
+    def _scalar_count(y0):
+        return jnp.asarray(
+            sum(l.size for l in jax.tree_util.tree_leaves(y0)), err_dtype
+        )
+
+    def _forward(t0, t1, dt_init, y0, f0_init, args):
+        tdir = jnp.sign(t1 - t0)
+        span = jnp.abs(t1 - t0)
+        count = _scalar_count(y0)
+        tel0 = StepTelemetry(
+            t=jnp.zeros((max_steps,), time_dtype),
+            dt=jnp.zeros((max_steps,), time_dtype),
+            eest=jnp.zeros((max_steps,), err_dtype),
+            eigen_est=jnp.zeros((max_steps,), err_dtype),
+            accepted=jnp.zeros((max_steps,), bool),
+            live=jnp.zeros((max_steps,), bool),
+        )
+        buf = lambda tree: jax.tree_util.tree_map(
+            lambda l: jnp.zeros((max_steps,) + l.shape, l.dtype), tree
+        )
+        hist0 = _FastHist(
+            t=jnp.zeros((max_steps,), time_dtype),
+            dt=jnp.zeros((max_steps,), time_dtype),
+            qold=jnp.zeros((max_steps,), err_dtype),
+            err_ssq=jnp.zeros((max_steps,), err_dtype),
+            num_ssq=jnp.zeros((max_steps,), err_dtype),
+            den_ssq=jnp.zeros((max_steps,), err_dtype),
+            y=buf(y0),
+            f0=buf(f0_init),
+        )
+        init = _Carry(
+            t=t0, dt=dt_init,
+            qold=jnp.asarray(ctrl.qoldinit, err_dtype),
+            y=y0, f0=f0_init,
+            done=span == 0,
+            step=jnp.asarray(0, jnp.int32),
+            naccept=jnp.asarray(0, jnp.int32),
+            nreject=jnp.asarray(0, jnp.int32),
+            ys_buf=None,
+        )
+
+        def cond(state):
+            carry, _, _ = state
+            return (~carry.done) & (carry.step < max_steps)
+
+        def body(state):
+            carry, tel, hist = state
+            i = carry.step
+            t, dt, qold, y, f0 = (carry.t, carry.dt, carry.qold, carry.y,
+                                  carry.f0)
+            remaining = t1 - t
+            is_last = (dt - remaining) * tdir >= 0
+            dt_eff = jnp.where(is_last, remaining, dt)
+            res = sweep(t, dt_eff, y, f0, args)
+            e = res.err_ssq.astype(err_dtype)
+            n = res.eig_num_ssq.astype(err_dtype)
+            d = res.eig_den_ssq.astype(err_dtype)
+            eest, eigen_est = _normed_scalars(e, n, d, count, err_dtype)
+            accept = eest <= 1.0
+            dt_next, qold_next = ctrl.propose(dt_eff, eest, qold, accept)
+            dt_next = jnp.sign(dt_next) * jnp.minimum(jnp.abs(dt_next), span)
+            t_new = jnp.where(accept, jnp.where(is_last, t1, t + dt_eff), t)
+            y_out = tree_where(accept, res.y_new, y)
+            f0_out = tree_where(accept, res.k_last, f0)
+
+            setrow = lambda bt, vt: jax.tree_util.tree_map(
+                lambda b, l: b.at[i].set(l), bt, vt)
+            hist = _FastHist(
+                t=hist.t.at[i].set(t),
+                dt=hist.dt.at[i].set(dt),
+                qold=hist.qold.at[i].set(qold),
+                err_ssq=hist.err_ssq.at[i].set(e),
+                num_ssq=hist.num_ssq.at[i].set(n),
+                den_ssq=hist.den_ssq.at[i].set(d),
+                y=setrow(hist.y, y),
+                f0=setrow(hist.f0, f0),
+            )
+            tel = StepTelemetry(
+                t=tel.t.at[i].set(
+                    jnp.where(is_last, t1, t + dt_eff).astype(time_dtype)),
+                dt=tel.dt.at[i].set(dt_eff),
+                eest=tel.eest.at[i].set(eest),
+                eigen_est=tel.eigen_est.at[i].set(eigen_est),
+                accepted=tel.accepted.at[i].set(accept),
+                live=tel.live.at[i].set(True),
+            )
+            carry2 = _Carry(
+                t=t_new.astype(time_dtype),
+                dt=dt_next,
+                qold=qold_next,
+                y=y_out,
+                f0=f0_out,
+                done=accept & is_last,
+                step=i + 1,
+                naccept=carry.naccept + accept.astype(jnp.int32),
+                nreject=carry.nreject + (~accept).astype(jnp.int32),
+                ys_buf=None,
+            )
+            return carry2, tel, hist
+
+        final, tel, hist = lax.while_loop(cond, body, (init, tel0, hist0))
+        outs = (final.y, tel, final.t, final.dt, final.qold,
+                final.naccept, final.nreject, final.done)
+        return outs, hist
+
+    @jax.custom_vjp
+    def solve(t0, t1, dt_init, y0, f0_init, args):
+        outs, _ = _forward(t0, t1, dt_init, y0, f0_init, args)
+        return outs
+
+    def solve_fwd(t0, t1, dt_init, y0, f0_init, args):
+        outs, hist = _forward(t0, t1, dt_init, y0, f0_init, args)
+        nsteps = outs[5] + outs[6]
+        return outs, (hist, outs[1], nsteps, t0, t1, y0, f0_init, args)
+
+    def solve_bwd(res, cts):
+        if bwd_precision is not None:
+            with jax.default_matmul_precision(bwd_precision):
+                return _solve_bwd_impl(res, cts)
+        return _solve_bwd_impl(res, cts)
+
+    def _solve_bwd_impl(res, cts):
+        hist, tel, nsteps, t0, t1, y0, f0_init, args = res
+        (ct_y1, ct_tel, ct_tf, ct_dtf, ct_qoldf, _na, _nr, _done) = cts
+        tdir = jnp.sign(t1 - t0)
+        count = _scalar_count(y0)
+        zlike = lambda tr: jax.tree_util.tree_map(jnp.zeros_like, tr)
+
+        ct_tel_t = _materialize(ct_tel.t, jnp.zeros((max_steps,), time_dtype))
+        ct_tel_dt = _materialize(ct_tel.dt, jnp.zeros((max_steps,), time_dtype))
+        ct_tel_e = _materialize(ct_tel.eest, jnp.zeros((max_steps,), err_dtype))
+        ct_tel_g = _materialize(
+            ct_tel.eigen_est, jnp.zeros((max_steps,), err_dtype))
+
+        span = jnp.abs(t1 - t0)
+
+        def post(t, dt_eff, qold, e, n, d, t1_, span_, is_last):
+            eest, eigen = _normed_scalars(e, n, d, count, err_dtype)
+            accept = eest <= 1.0
+            dt_next, qold_next = ctrl.propose(dt_eff, eest, qold, accept)
+            dt_next = jnp.sign(dt_next) * jnp.minimum(jnp.abs(dt_next), span_)
+            t_new = jnp.where(accept, jnp.where(is_last, t1_, t + dt_eff), t)
+            tel_t = jnp.where(is_last, t1_, t + dt_eff).astype(time_dtype)
+            return (t_new.astype(time_dtype), dt_next, qold_next, tel_t,
+                    eest, eigen)
+
+        carry0 = (
+            nsteps - 1,
+            _materialize(ct_tf, jnp.zeros((), time_dtype)),
+            _materialize(ct_dtf, jnp.zeros((), time_dtype)),
+            _materialize(ct_qoldf, jnp.zeros((), err_dtype)),
+            _materialize_tree(ct_y1, y0),
+            zlike(f0_init),
+            zlike(args),
+            jnp.zeros((), time_dtype),  # acc ct t1
+            jnp.zeros((), time_dtype),  # acc ct span
+        )
+
+        def cond(state):
+            return state[0] >= 0
+
+        def body(state):
+            (i, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_args,
+             ct_t1x, ct_spanx) = state
+            row = lambda tr: jax.tree_util.tree_map(lambda b: b[i], tr)
+            t_i, dt_i, qold_i = hist.t[i], hist.dt[i], hist.qold[i]
+            e_i, n_i, d_i = hist.err_ssq[i], hist.num_ssq[i], hist.den_ssq[i]
+            y_i, f0_i = row(hist.y), row(hist.f0)
+            acc = tel.accepted[i]
+            remaining = t1 - t_i
+            is_last = (dt_i - remaining) * tdir >= 0
+            dt_eff = jnp.where(is_last, remaining, dt_i)
+
+            # array selects: y_out = where(acc, y_new, y); f0_out likewise
+            ct_ynew = tree_where(acc, ct_y, zlike(ct_y))
+            ct_y_pass = tree_where(acc, zlike(ct_y), ct_y)
+            ct_k7 = tree_where(acc, ct_f0, zlike(ct_f0))
+            ct_f0_pass = tree_where(acc, zlike(ct_f0), ct_f0)
+
+            # scalar chain (controller / time update / telemetry)
+            _, vjp_post = jax.vjp(
+                post, t_i, dt_eff, qold_i, e_i, n_i, d_i, t1, span, is_last
+            )
+            (dp_t, dp_dteff, dp_qold, ct_e, ct_n, ct_d, dp_t1, dp_span,
+             _dp_last) = vjp_post(
+                (ct_t, ct_dt, ct_qold, ct_tel_t[i], ct_tel_e[i], ct_tel_g[i])
+            )
+
+            # ONE backward-kernel call; the telemetry holds all primals
+            k_ct_t, k_ct_dteff, ct_y_k, ct_k1, ct_args_i = sweep_bwd(
+                t_i, dt_eff, y_i, f0_i, args,
+                (ct_ynew, ct_k7, ct_e, ct_n, ct_d),
+            )
+
+            # dt_eff = where(is_last, t1 - t, dt)
+            ct_dteff = dp_dteff + k_ct_dteff + ct_tel_dt[i]
+            d_t_pre = jnp.where(is_last, -ct_dteff, 0.0)
+            d_dt_pre = jnp.where(is_last, 0.0, ct_dteff)
+            d_t1_pre = jnp.where(is_last, ct_dteff, 0.0)
+
+            return (
+                i - 1,
+                (dp_t + k_ct_t + d_t_pre).astype(time_dtype),
+                d_dt_pre.astype(time_dtype),
+                dp_qold,
+                jax.tree_util.tree_map(jnp.add, ct_y_pass, ct_y_k),
+                jax.tree_util.tree_map(jnp.add, ct_f0_pass, ct_k1),
+                jax.tree_util.tree_map(jnp.add, ct_args, ct_args_i),
+                ct_t1x + dp_t1 + d_t1_pre,
+                ct_spanx + dp_span,
+            )
+
+        (_, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_args,
+         ct_t1x, ct_spanx) = lax.while_loop(cond, body, carry0)
+
+        # span = |t1 - t0|
+        ct_t1x = ct_t1x + tdir * ct_spanx
+        ct_t0 = ct_t - tdir * ct_spanx
+        return (ct_t0, ct_t1x, ct_dt, ct_y, ct_f0, ct_args)
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
 def _materialize(ct, zeros):
     """Replace symbolic-zero cotangents with concrete zeros."""
     if ct is None or (hasattr(ct, "dtype") and ct.dtype == jax.dtypes.float0):
@@ -560,6 +817,7 @@ def odeint(
     axis_name: Optional[str] = None,
     matmul_precision: Optional[str] = "highest",
     stage_sweep: Optional[Callable] = None,
+    stage_sweep_bwd: Optional[Callable] = None,
     _bwd_precision: Optional[str] = None,
 ) -> ODESolution:
     """Integrate ``dy/dt = func(t, y, args)`` from ``t0`` to ``t1``.
@@ -605,6 +863,7 @@ def odeint(
                 max_steps=max_steps, saveat=saveat, controller=controller,
                 mode=mode, remat=remat, axis_name=axis_name,
                 matmul_precision=None, stage_sweep=stage_sweep,
+                stage_sweep_bwd=stage_sweep_bwd,
                 _bwd_precision=matmul_precision,
             )
     tab = get_tableau(solver)
@@ -663,6 +922,28 @@ def odeint(
     )
 
     if mode == "adjoint":
+        fast = (
+            stage_sweep is not None
+            and stage_sweep_bwd is not None
+            and saveat is None
+            and axis_name is None
+        )
+        if fast:
+            solve = _make_fast_adjoint_solve(
+                stage_sweep, stage_sweep_bwd, ctrl, max_steps,
+                time_dtype, err_dtype, _bwd_precision,
+            )
+            (y1, tel, _tf, _dtf, _qoldf, naccept, nreject, done) = solve(
+                t0, t1, init.dt, y0, f_init, args
+            )
+            nsteps = naccept + nreject
+            stats = ODEStats(
+                nfe=jnp.asarray(nfe_init, jnp.int32)
+                + (tab.num_stages - 1) * nsteps,
+                naccept=naccept, nreject=nreject, success=done,
+            )
+            return ODESolution(y1=y1, ys=None, ts=None, stats=stats,
+                               telemetry=tel)
         solve = _make_adjoint_solve(
             func, tab, ctrl, rtol, atol, saveat, axis_name, stage_sweep,
             max_steps, time_dtype, err_dtype, _bwd_precision,

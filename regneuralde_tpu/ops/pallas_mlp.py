@@ -596,14 +596,21 @@ def _make_normed_kernels(rtol: float, atol: float):
         b2 = b2_ref[:]
 
         # ---- forward recompute, stage values live in VMEM ----
-        ks = [k1_ref[:]]
-        yis, hs = [], []
-        for i in range(1, 7):
+        # Only the k's and hidden activations are kept; the stage states
+        # yi are cheap linear combinations of them and are recomputed in
+        # the reverse loop (keeping all six would overflow the 16MB VMEM
+        # budget at 128-row tiles x dim 784).
+        def stage_acc(i, ks):
             acc = tab.a[i - 1][0] * ks[0]
             for c, k in zip(tab.a[i - 1][1:], ks[1:]):
                 if c != 0.0:
                     acc = acc + c * k
-            yi = y + dt * acc
+            return acc
+
+        ks = [k1_ref[:]]
+        hs = []
+        for i in range(1, 7):
+            yi = y + dt * stage_acc(i, ks)
             ti = t + tab.c[i] * dt
             pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST) + ti * w1t + b1
@@ -611,9 +618,8 @@ def _make_normed_kernels(rtol: float, atol: float):
             pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST) + ti * w2t + b2
             ks.append(_tanh(pre2))
-            yis.append(yi)
             hs.append(h)
-        y_new = yis[-1]
+        y_new = y + dt * stage_acc(6, ks)
 
         # ---- seed cotangents from the scalar norm cotangents ----
         # err_ssq = sum((err/denom)^2), err = dt * S, S = sum btilde_j k_j
@@ -635,7 +641,7 @@ def _make_normed_kernels(rtol: float, atol: float):
         # num_ssq = sum((k7-k6)^2); den_ssq = sum((y_new-g6)^2), g6 = yis[4]
         dk = ks[6] - ks[5]
         d_k7 = cnumssq_ref[0, 0] * 2.0 * dk
-        dg = y_new - yis[4]
+        dg = y_new - (y + dt * stage_acc(5, ks))
         d_ynew = cdenssq_ref[0, 0] * 2.0 * dg
 
         ct_ks = [tab.btilde[j] * (dt * cerr) for j in range(7)]
@@ -657,7 +663,8 @@ def _make_normed_kernels(rtol: float, atol: float):
         for i in range(6, 0, -1):
             k_i = ks[i]
             h_i = hs[i - 1]
-            yi = yis[i - 1]
+            acc = stage_acc(i, ks)
+            yi = y + dt * acc
             ti = t + tab.c[i] * dt
 
             ct_pre2 = ct_ks[i] * (1.0 - k_i * k_i)
@@ -693,10 +700,6 @@ def _make_normed_kernels(rtol: float, atol: float):
                 precision=jax.lax.Precision.HIGHEST,
             )
             ct_y = ct_y + ct_yi
-            acc = tab.a[i - 1][0] * ks[0]
-            for c, k in zip(tab.a[i - 1][1:], ks[1:]):
-                if c != 0.0:
-                    acc = acc + c * k
             ct_dt = ct_dt + jnp.sum(ct_yi * acc) + tab.c[i] * ct_ti
             ct_t = ct_t + ct_ti
             for j, c in enumerate(tab.a[i - 1]):
@@ -792,6 +795,9 @@ def _normed_pallas_fwd(t, dt, y, k1, parts, rtol, atol,
 
 def _normed_pallas_bwd(t, dt, y, k1, parts, cotangents, rtol, atol,
                        block_batch: int = 64):
+    # 128-row tiles at dim=784 overflow the 16MB scoped-VMEM budget by
+    # ~0.75MB (the 7-deep k-stack + ct_ks accumulators + double-buffered
+    # I/O row blocks); 64 is the largest fitting power of two.
     if _interpret_under_shard_map(y):
         with jax.default_matmul_precision("highest"):
             _, vjp_fn = jax.vjp(
@@ -897,3 +903,41 @@ def mlp_dynamics_normed_sweep(t, dt, y, k1, params, rtol, atol):
         t, dt, y, k1, _split_params(params), float(rtol), float(atol)
     )
     return NormedSweep(y_new, k7, err_ssq, num_ssq, den_ssq)
+
+
+def mlp_dynamics_normed_sweep_bwd(t, dt, y, k1, params, cts, rtol, atol):
+    """Direct backward of the normed trial step for the fast adjoint path
+    (``ops.ode._make_fast_adjoint_solve``): one backward-kernel call, no
+    forward replay. ``cts`` = (ct_y_new, ct_k7, ct_err_ssq, ct_num_ssq,
+    ct_den_ssq). Returns (ct_t, ct_dt, ct_y, ct_k1, ct_params) with the
+    weight cotangents merged back into the flax param structure."""
+    parts = _split_params(params)
+    cts = (cts[0], cts[1],
+           jnp.asarray(cts[2], jnp.float32), jnp.asarray(cts[3], jnp.float32),
+           jnp.asarray(cts[4], jnp.float32))
+    if _interpret_under_shard_map(y):
+        with jax.default_matmul_precision("highest"):
+            _, vjp_fn = jax.vjp(
+                lambda *a: _reference_normed_sweep(*a, float(rtol), float(atol)),
+                t, dt, y, k1, parts,
+            )
+            ct_t, ct_dt, cy, ck1, cparts = vjp_fn(cts)
+    else:
+        ct_t, ct_dt, cy, ck1, cparts = _normed_pallas_bwd(
+            t, dt, y, k1, parts, cts, float(rtol), float(atol)
+        )
+    cw1x, cw1t, cb1, cw2h, cw2t, cb2 = cparts
+    p = params["params"]
+    ct_params = {"params": {
+        "dense_1": {
+            "kernel": jnp.concatenate([cw1x, cw1t], axis=0).astype(
+                p["dense_1"]["kernel"].dtype),
+            "bias": cb1[0].astype(p["dense_1"]["bias"].dtype),
+        },
+        "dense_2": {
+            "kernel": jnp.concatenate([cw2h, cw2t], axis=0).astype(
+                p["dense_2"]["kernel"].dtype),
+            "bias": cb2[0].astype(p["dense_2"]["bias"].dtype),
+        },
+    }}
+    return ct_t, ct_dt, cy, ck1, ct_params

@@ -269,3 +269,77 @@ class TestNormedFusedKernel:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-4
             )
+
+
+class TestFastAdjoint:
+    """The fast adjoint backward (normed fused sweep + stored norm
+    scalars: one backward-kernel call per live step, no forward replay).
+    Contract: bitwise-equal forward and matching gradients vs both the
+    fused scan path and the generic paths."""
+
+    def _setup(self):
+        m = MLPDynamics(dim=16, hidden=12)
+        x = jax.random.normal(KEY, (8, 16)) * 0.5
+        node_f = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48, fused=True)
+        node_g = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48, fused=False)
+        p = node_f.init(jax.random.PRNGKey(1), x)
+        return node_f, node_g, x, p
+
+    def test_forward_identical_to_fused_scan(self):
+        node_f, _, x, p = self._setup()
+        oa = node_f(p, x, mode="adjoint")
+        os_ = node_f(p, x, mode="scan")
+        np.testing.assert_array_equal(np.asarray(oa.value), np.asarray(os_.value))
+        assert int(oa.nfe) == int(os_.nfe)
+        np.testing.assert_array_equal(
+            np.asarray(oa.telemetry.eest), np.asarray(os_.telemetry.eest))
+
+    def test_grads_match_all_paths(self):
+        node_f, node_g, x, p = self._setup()
+
+        def loss(p, node, mode):
+            out = node(p, x, mode=mode)
+            reg = jnp.sum(jnp.where(out.telemetry.accepted,
+                                    out.telemetry.eest * out.telemetry.dt,
+                                    0.0))
+            return jnp.sum(out.value ** 2) + 0.3 * reg
+
+        g_fast = jax.grad(lambda p: loss(p, node_f, "adjoint"))(p)
+        g_scan = jax.grad(lambda p: loss(p, node_f, "scan"))(p)
+        g_gen = jax.grad(lambda p: loss(p, node_g, "scan"))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g_fast),
+                        jax.tree_util.tree_leaves(g_scan)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_fast),
+                        jax.tree_util.tree_leaves(g_gen)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=5e-4)
+
+    def test_tspan_gradient_flows(self):
+        node_f, node_g, x, p = self._setup()
+
+        def loss(t1, node, mode):
+            out = node(p, x, tspan=(0.0, t1), mode=mode)
+            return jnp.sum(out.value ** 2)
+
+        g_fast = jax.grad(lambda t1: loss(t1, node_f, "adjoint"))(
+            jnp.float32(1.0))
+        g_scan = jax.grad(lambda t1: loss(t1, node_f, "scan"))(
+            jnp.float32(1.0))
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_scan),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_saveat_falls_back_to_general_adjoint(self):
+        # fast path requires no saveat; with saveat the general adjoint
+        # runs and trajectories still match the scan oracle.
+        m = MLPDynamics(dim=8, hidden=6)
+        x = jax.random.normal(KEY, (4, 8)) * 0.5
+        sa = jnp.asarray([0.0, 0.5, 1.0])
+        node = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48, fused=True,
+                         saveat=sa)
+        p = node.init(jax.random.PRNGKey(1), x)
+        oa = node(p, x, mode="adjoint")
+        os_ = node(p, x, mode="scan")
+        np.testing.assert_allclose(np.asarray(oa.value), np.asarray(os_.value),
+                                   rtol=1e-5, atol=1e-7)
