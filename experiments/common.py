@@ -163,6 +163,18 @@ def block(tree):
     return tree
 
 
+def provenance(loader=None, **kw):
+    """Run-provenance block for results.yml: the data source, solver
+    configuration, and backend — so a synthetic-data run is
+    distinguishable from a real-data run in the artifact (the reference
+    only prints this to stdout)."""
+    out = {"backend": jax.default_backend()}
+    if loader is not None:
+        out["data_source"] = str(getattr(loader, "source", "unknown"))
+    out.update(kw)
+    return {"provenance": out}
+
+
 def finish(run_dir: Path, results: dict, params=None):
     """Write results.yml (+ final weights) like the reference
     (mnist_node.jl:269-280)."""

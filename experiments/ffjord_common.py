@@ -6,7 +6,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-from common import HealthMonitor, Timer, block, finish, guarded_train_step
+from common import (HealthMonitor, Timer, block, finish, guarded_train_step,
+                    provenance)
 from regneuralde_tpu import reg
 from regneuralde_tpu.models import CSLDynamics, FFJORD
 from regneuralde_tpu.training import (
@@ -135,6 +136,9 @@ def run_ffjord_experiment(args, h, run_dir, seed, train_loader, test_loader,
         "train_runtimes": train_times,
         "inference_runtimes": infer_times,
         "sampling_time": sampling_time,
+        **provenance(train_loader, solver="tsit5", mode="adjoint",
+                     fused=ff.fused, rtol=ff.rtol, atol=ff.atol,
+                     regularize=regularize),
         **health.results(),
     }, params=state.params)
     ckpt.close()

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from common import (HealthMonitor, Timer, block, finish, guarded_train_step,
+from common import (HealthMonitor, Timer, block, finish, guarded_train_step, provenance,
                     parse_args, setup)
 from regneuralde_tpu import reg
 from regneuralde_tpu.data import load_mnist
@@ -215,6 +215,10 @@ def main():
         "test_accuracies": test_accs,
         "train_runtimes": train_times,
         "inference_runtimes": infer_times,
+        **provenance(train_loader, solver="tsit5", mode="adjoint",
+                     fused=node.fused, rtol=node.rtol, atol=node.atol,
+                     regularize=bool(h.get("regularize", False)),
+                     reg_type=h.get("type")),
         **health.results(),
     }, params=state.params)
     ckpt.close()

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from common import (HealthMonitor, Timer, block, finish, guarded_train_step,
+from common import (HealthMonitor, Timer, block, finish, guarded_train_step, provenance,
                     parse_args, setup)
 from regneuralde_tpu import reg
 from regneuralde_tpu.data import load_mnist
@@ -155,6 +155,10 @@ def main():
         "test_accuracies": test_accs,
         "train_runtimes": train_times,
         "inference_runtimes": infer_times,
+        **provenance(train_loader, solver=solver, mode="adjoint",
+                     rtol=1.4e-1, atol=1.4e-1,
+                     regularize=bool(h.get("regularize", False)),
+                     reg_type=reg_type),
         **health.results(),
     }, params=state.params)
     ckpt.close()

@@ -7,8 +7,10 @@ rtol=atol=3e-1 with 30 saveat points on [0,1] (:50-59), AdaBelief(0.01)
 for 250 iterations over 100 Monte-Carlo trajectories (:61-76); loss is the
 L2 distance of per-timestep means and variances to the data (:28-33), plus
 0.2 * sum(EEst*dt) when regularizing (:26-39). Also times prediction like
-the reference's @belapsed benchmark (:82). The ground truth is regenerated
-from a true SDE (the reference ships it as data/sde_demo.bson).
+the reference's @belapsed benchmark (:82). The ground truth is the
+reference's actual data/sde_demo.bson (decoded by the BSON.jl codec) when
+findable — incl. the mounted reference checkout — with a regenerated
+synthetic SDE as fallback; results.yml records which (``data_source``).
 """
 
 import time
@@ -17,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
-from common import (HealthMonitor, Timer, block, finish, guarded_train_step,
+from common import (HealthMonitor, Timer, block, finish, guarded_train_step, provenance,
                     parse_args, setup)
 from regneuralde_tpu import reg
 from regneuralde_tpu.data import make_sde_demo
@@ -44,7 +46,8 @@ def main():
     c = float(h.get("reg_coeff", 0.2))
     max_steps = args.max_steps or h.get("max_steps", 128)
 
-    sde_means, sde_vars, tsteps = make_sde_demo(seed=0)
+    sde_means, sde_vars, tsteps, data_source = make_sde_demo(seed=0)
+    print(f"[sde_toy] ground truth: {data_source}")
     sde_means = jnp.asarray(sde_means)  # (30, 2)
     sde_vars = jnp.asarray(sde_vars)
     saveat = jnp.asarray(tsteps)
@@ -121,6 +124,9 @@ def main():
         "nfe2": int(n2),
         "prediction_time": ptime,
         "train_time": total_time,
+        **provenance(None, data_source=data_source, solver="sosri",
+                     mode="adjoint", rtol=3e-1, atol=3e-1,
+                     regularize=regularize),
         **health.results(),
     }, params=state.params)
 

@@ -72,6 +72,10 @@ def _search_file(name_options, data_dir: Optional[str]) -> Optional[Path]:
     if os.environ.get("REGNDE_DATA_DIR"):
         roots.append(Path(os.environ["REGNDE_DATA_DIR"]))
     roots.append(Path("data"))
+    # The mounted read-only reference checkout ships real data files
+    # (data/sde_demo.bson, data/physionet.bson when present) — use them
+    # by default so recorded runs exercise real ground truth.
+    roots.append(Path("/root/reference/data"))
     for root in roots:
         for name in name_options:
             p = root / name
@@ -415,13 +419,17 @@ def load_gaussian_mixture(
 
 def make_sde_demo(seed: int = 0, datasize: int = 30):
     """Ground-truth data for the toy SDE experiment (per-timestep means,
-    variances, timestamps — reference: experiments/sde_toy_problem.jl:8-15).
+    variances, timestamps, source — reference:
+    experiments/sde_toy_problem.jl:8-15).
 
-    If the reference's actual blob ``sde_demo.bson`` is findable (data/ or
-    REGNDE_DATA_DIR), its real ground truth is decoded with the BSON.jl
-    codec and returned — exact data parity. Otherwise the truth is
+    If the reference's actual blob ``sde_demo.bson`` is findable (data/,
+    REGNDE_DATA_DIR, or the mounted reference checkout), its real ground
+    truth is decoded with the BSON.jl codec and returned — exact data
+    parity; the ``seed`` argument is then unused. Otherwise the truth is
     regenerated synthetically: du = f(u) dt + g(u) dW for a damped cubic
-    drift over many trajectories."""
+    drift over many trajectories. The returned ``source`` string states
+    which path was taken (and the file used), so runs record their data
+    provenance instead of silently depending on file presence."""
     found = _search_file(["sde_demo.bson"], None)
     if found is not None and datasize == 30:
         from regneuralde_tpu.data.bson import load_bson
@@ -431,7 +439,7 @@ def make_sde_demo(seed: int = 0, datasize: int = 30):
             means = np.asarray(blob["sde_data"], np.float32).T  # (30, 2)
             vars_ = np.asarray(blob["sde_data_vars"], np.float32).T
             tsteps = np.linspace(0.0, 1.0, means.shape[0]).astype(np.float32)
-            return means, vars_, tsteps
+            return means, vars_, tsteps, f"bson:{found}"
     rng = np.random.default_rng(seed)
     tsteps = np.linspace(0.0, 1.0, datasize).astype(np.float32)
     ntraj = 512
@@ -456,4 +464,5 @@ def make_sde_demo(seed: int = 0, datasize: int = 30):
         np.stack(out_means).astype(np.float32),  # (datasize, 2)
         np.stack(out_vars).astype(np.float32),
         tsteps,
+        "synthetic",
     )

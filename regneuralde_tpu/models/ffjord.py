@@ -131,10 +131,11 @@ class FFJORD:
         n_aux = 3 if kinetic_reg else 1
         u0 = jnp.concatenate([x, jnp.zeros((batch, n_aux), x.dtype)], axis=-1)
         stage_sweep = None
+        stage_sweep_bwd = None
         if self.fused:
             from regneuralde_tpu.ops.pallas_generic import make_csl_ffjord_sweep
 
-            stage_sweep = make_csl_ffjord_sweep(
+            stage_sweep, stage_sweep_bwd = make_csl_ffjord_sweep(
                 params, e, self.input_dim, kinetic_reg, self.rtol, self.atol
             )
         sol = odeint(
@@ -150,6 +151,7 @@ class FFJORD:
             mode=mode,
             axis_name=self.axis_name,
             stage_sweep=stage_sweep,
+            stage_sweep_bwd=stage_sweep_bwd,
         )
         pred = sol.y1
         z = pred[:, : self.input_dim]

@@ -156,7 +156,7 @@ class NeuralODE:
                     make_alternating_mlp_sweep,
                 )
 
-                stage_sweep = make_alternating_mlp_sweep(
+                stage_sweep, stage_sweep_bwd = make_alternating_mlp_sweep(
                     params, self.dynamics.depth, self.rtol, self.atol
                 )
         sol = odeint(

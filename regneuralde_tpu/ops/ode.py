@@ -386,15 +386,13 @@ def _make_adjoint_solve(
         def buf_like(tree):
             # History buffers must carry the template's varying-mesh-axes
             # (under shard_map the state rows are per-shard), or the
-            # while_loop carry types mismatch at the first write.
-            def mk(l):
-                buf = jnp.zeros((max_steps,) + l.shape, l.dtype)
-                vma = tuple(
-                    sorted(getattr(jax.typeof(l), "vma", frozenset()) or ())
-                )
-                return jax.lax.pvary(buf, vma) if vma else buf
-
-            return jax.tree_util.tree_map(mk, tree)
+            # while_loop carry types mismatch at the first write. `+ l * 0`
+            # stamps the template's vma via broadcasting (XLA folds the
+            # dead multiply) without the deprecated explicit pvary.
+            return jax.tree_util.tree_map(
+                lambda l: jnp.zeros((max_steps,) + l.shape, l.dtype) + l * 0,
+                tree,
+            )
         hist0 = _AdjointHist(
             t=jnp.zeros((max_steps,), time_dtype),
             dt=jnp.zeros((max_steps,), time_dtype),
@@ -467,9 +465,6 @@ def _make_adjoint_solve(
         hist, nsteps, t0, t1, y0, f0_init, ys_buf_init, args = res
         (ct_y1, ct_ysbuf, ct_tel, ct_tf, ct_dtf, ct_qoldf,
          _ct_na, _ct_nr, _ct_done) = cts
-
-        zero_f = lambda x: jnp.zeros((), x.dtype) if jnp.issubdtype(
-            x.dtype, jnp.floating) else None
 
         def zlike(tree):
             return jax.tree_util.tree_map(jnp.zeros_like, tree)
@@ -544,17 +539,28 @@ class _FastHist(NamedTuple):
     den_ssq: jnp.ndarray
     y: Pytree
     f0: Pytree
+    y_new: Pytree  # sweep outputs, stored only for saveat solves (the
+    k_last: Pytree  # Hermite-interpolation primals); `()` otherwise
 
 
 def _make_fast_adjoint_solve(
     sweep, sweep_bwd, ctrl, max_steps, time_dtype, err_dtype, bwd_precision,
+    saveat=None, axis_name=None,
 ):
-    """Specialized adjoint solve for normed fused sweeps (no saveat, no
-    axis_name): the forward stores the kernel's norm scalars per step, so
-    each backward iteration is ONE backward-kernel call plus a scalar-chain
-    vjp — no forward-kernel replay and no big-array glue. Roughly halves
-    the gradient cost of the flagship step (the general replay's jax.vjp
+    """Specialized adjoint solve for normed fused sweeps: the forward
+    stores the kernel's norm scalars per step, so each backward iteration
+    is ONE backward-kernel call plus a scalar-chain vjp — no
+    forward-kernel replay and no big-array glue. Roughly halves the
+    gradient cost of the flagship step (the general replay's jax.vjp
     re-runs the forward kernel for primals the telemetry already holds).
+
+    ``saveat`` solves additionally store the sweep outputs (y_new, k_last)
+    per step — the cubic-Hermite primals — so the backward runs the
+    interpolation vjp from stored values, again without replaying the
+    kernel. Under ``axis_name`` the three norm scalars (and the state
+    count) are psum'd exactly as the generic step does, so step control
+    stays globally synchronized and the backward transposes the psum to
+    the correct broadcast.
 
     Gradient contract: identical ops to the generic step/replay (the
     scalar chain is rebuilt from the same `_normed_scalars` + controller
@@ -565,7 +571,19 @@ def _make_fast_adjoint_solve(
             sum(l.size for l in jax.tree_util.tree_leaves(y0)), err_dtype
         )
 
-    def _forward(t0, t1, dt_init, y0, f0_init, args):
+    def _global_norms(e, n, d, count):
+        if axis_name is not None:
+            e = lax.psum(e, axis_name)
+            n = lax.psum(n, axis_name)
+            d = lax.psum(d, axis_name)
+            count = lax.psum(count, axis_name)
+        return _normed_scalars(e, n, d, count, err_dtype)
+
+    def _interp(t, dt_eff, y, y_new, f0, k_last):
+        theta = (saveat - t) / jnp.where(dt_eff == 0, 1.0, dt_eff)
+        return _hermite_eval(theta, dt_eff, y, y_new, f0, k_last)
+
+    def _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init, args):
         tdir = jnp.sign(t1 - t0)
         span = jnp.abs(t1 - t0)
         count = _scalar_count(y0)
@@ -577,18 +595,27 @@ def _make_fast_adjoint_solve(
             accepted=jnp.zeros((max_steps,), bool),
             live=jnp.zeros((max_steps,), bool),
         )
+        # `+ l * 0` stamps the template's varying-mesh-axes onto the
+        # history buffer (under shard_map the state rows are per-shard);
+        # XLA folds the dead multiply. The stored norm scalars are LOCAL
+        # (pre-psum) sums, hence also per-shard — stamp them with a
+        # varying zero derived from the state.
         buf = lambda tree: jax.tree_util.tree_map(
-            lambda l: jnp.zeros((max_steps,) + l.shape, l.dtype), tree
+            lambda l: jnp.zeros((max_steps,) + l.shape, l.dtype) + l * 0, tree
         )
+        vzero = (jax.tree_util.tree_leaves(y0)[0].ravel()[0] * 0).astype(
+            err_dtype)
         hist0 = _FastHist(
             t=jnp.zeros((max_steps,), time_dtype),
             dt=jnp.zeros((max_steps,), time_dtype),
             qold=jnp.zeros((max_steps,), err_dtype),
-            err_ssq=jnp.zeros((max_steps,), err_dtype),
-            num_ssq=jnp.zeros((max_steps,), err_dtype),
-            den_ssq=jnp.zeros((max_steps,), err_dtype),
+            err_ssq=jnp.zeros((max_steps,), err_dtype) + vzero,
+            num_ssq=jnp.zeros((max_steps,), err_dtype) + vzero,
+            den_ssq=jnp.zeros((max_steps,), err_dtype) + vzero,
             y=buf(y0),
             f0=buf(f0_init),
+            y_new=buf(y0) if saveat is not None else (),
+            k_last=buf(f0_init) if saveat is not None else (),
         )
         init = _Carry(
             t=t0, dt=dt_init,
@@ -598,7 +625,7 @@ def _make_fast_adjoint_solve(
             step=jnp.asarray(0, jnp.int32),
             naccept=jnp.asarray(0, jnp.int32),
             nreject=jnp.asarray(0, jnp.int32),
-            ys_buf=None,
+            ys_buf=ys_buf_init,
         )
 
         def cond(state):
@@ -617,13 +644,30 @@ def _make_fast_adjoint_solve(
             e = res.err_ssq.astype(err_dtype)
             n = res.eig_num_ssq.astype(err_dtype)
             d = res.eig_den_ssq.astype(err_dtype)
-            eest, eigen_est = _normed_scalars(e, n, d, count, err_dtype)
+            eest, eigen_est = _global_norms(e, n, d, count)
             accept = eest <= 1.0
             dt_next, qold_next = ctrl.propose(dt_eff, eest, qold, accept)
             dt_next = jnp.sign(dt_next) * jnp.minimum(jnp.abs(dt_next), span)
             t_new = jnp.where(accept, jnp.where(is_last, t1, t + dt_eff), t)
             y_out = tree_where(accept, res.y_new, y)
             f0_out = tree_where(accept, res.k_last, f0)
+
+            ys_buf = carry.ys_buf
+            if saveat is not None:
+                t_end = jnp.where(is_last, t1, t + dt_eff)
+                in_window = (
+                    accept
+                    & ((saveat - t) * tdir > 0)
+                    & ((saveat - t_end) * tdir <= 0)
+                )
+                y_interp = _interp(t, dt_eff, y, res.y_new, f0, res.k_last)
+                ys_buf = jax.tree_util.tree_map(
+                    lambda b, yi: jnp.where(
+                        in_window.reshape((-1,) + (1,) * (b.ndim - 1)), yi, b
+                    ),
+                    ys_buf,
+                    y_interp,
+                )
 
             setrow = lambda bt, vt: jax.tree_util.tree_map(
                 lambda b, l: b.at[i].set(l), bt, vt)
@@ -636,6 +680,10 @@ def _make_fast_adjoint_solve(
                 den_ssq=hist.den_ssq.at[i].set(d),
                 y=setrow(hist.y, y),
                 f0=setrow(hist.f0, f0),
+                y_new=(setrow(hist.y_new, res.y_new)
+                       if saveat is not None else ()),
+                k_last=(setrow(hist.k_last, res.k_last)
+                        if saveat is not None else ()),
             )
             tel = StepTelemetry(
                 t=tel.t.at[i].set(
@@ -656,24 +704,25 @@ def _make_fast_adjoint_solve(
                 step=i + 1,
                 naccept=carry.naccept + accept.astype(jnp.int32),
                 nreject=carry.nreject + (~accept).astype(jnp.int32),
-                ys_buf=None,
+                ys_buf=ys_buf,
             )
             return carry2, tel, hist
 
         final, tel, hist = lax.while_loop(cond, body, (init, tel0, hist0))
-        outs = (final.y, tel, final.t, final.dt, final.qold,
+        outs = (final.y, final.ys_buf, tel, final.t, final.dt, final.qold,
                 final.naccept, final.nreject, final.done)
         return outs, hist
 
     @jax.custom_vjp
-    def solve(t0, t1, dt_init, y0, f0_init, args):
-        outs, _ = _forward(t0, t1, dt_init, y0, f0_init, args)
+    def solve(t0, t1, dt_init, y0, f0_init, ys_buf_init, args):
+        outs, _ = _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init, args)
         return outs
 
-    def solve_fwd(t0, t1, dt_init, y0, f0_init, args):
-        outs, hist = _forward(t0, t1, dt_init, y0, f0_init, args)
-        nsteps = outs[5] + outs[6]
-        return outs, (hist, outs[1], nsteps, t0, t1, y0, f0_init, args)
+    def solve_fwd(t0, t1, dt_init, y0, f0_init, ys_buf_init, args):
+        outs, hist = _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init, args)
+        nsteps = outs[6] + outs[7]
+        return outs, (hist, outs[2], nsteps, t0, t1, y0, f0_init,
+                      ys_buf_init, args)
 
     def solve_bwd(res, cts):
         if bwd_precision is not None:
@@ -682,8 +731,9 @@ def _make_fast_adjoint_solve(
         return _solve_bwd_impl(res, cts)
 
     def _solve_bwd_impl(res, cts):
-        hist, tel, nsteps, t0, t1, y0, f0_init, args = res
-        (ct_y1, ct_tel, ct_tf, ct_dtf, ct_qoldf, _na, _nr, _done) = cts
+        (hist, tel, nsteps, t0, t1, y0, f0_init, ys_buf_init, args) = res
+        (ct_y1, ct_ysbuf, ct_tel, ct_tf, ct_dtf, ct_qoldf,
+         _na, _nr, _done) = cts
         tdir = jnp.sign(t1 - t0)
         count = _scalar_count(y0)
         zlike = lambda tr: jax.tree_util.tree_map(jnp.zeros_like, tr)
@@ -697,7 +747,7 @@ def _make_fast_adjoint_solve(
         span = jnp.abs(t1 - t0)
 
         def post(t, dt_eff, qold, e, n, d, t1_, span_, is_last):
-            eest, eigen = _normed_scalars(e, n, d, count, err_dtype)
+            eest, eigen = _global_norms(e, n, d, count)
             accept = eest <= 1.0
             dt_next, qold_next = ctrl.propose(dt_eff, eest, qold, accept)
             dt_next = jnp.sign(dt_next) * jnp.minimum(jnp.abs(dt_next), span_)
@@ -713,6 +763,7 @@ def _make_fast_adjoint_solve(
             _materialize(ct_qoldf, jnp.zeros((), err_dtype)),
             _materialize_tree(ct_y1, y0),
             zlike(f0_init),
+            _materialize_tree(ct_ysbuf, ys_buf_init),
             zlike(args),
             jnp.zeros((), time_dtype),  # acc ct t1
             jnp.zeros((), time_dtype),  # acc ct span
@@ -722,7 +773,7 @@ def _make_fast_adjoint_solve(
             return state[0] >= 0
 
         def body(state):
-            (i, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_args,
+            (i, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys, ct_args,
              ct_t1x, ct_spanx) = state
             row = lambda tr: jax.tree_util.tree_map(lambda b: b[i], tr)
             t_i, dt_i, qold_i = hist.t[i], hist.dt[i], hist.qold[i]
@@ -738,6 +789,35 @@ def _make_fast_adjoint_solve(
             ct_y_pass = tree_where(acc, zlike(ct_y), ct_y)
             ct_k7 = tree_where(acc, ct_f0, zlike(ct_f0))
             ct_f0_pass = tree_where(acc, zlike(ct_f0), ct_f0)
+
+            di_t = jnp.zeros((), time_dtype)
+            di_dteff = jnp.zeros((), time_dtype)
+            di_y = zlike(ct_y)
+            di_f0 = zlike(ct_f0)
+            ct_ys_next = ct_ys
+            if saveat is not None:
+                # Hermite-interpolation vjp from the stored primals. The
+                # save-window mask (incl. accept) already zeroes the
+                # cotangent rows of steps that wrote nothing.
+                ynew_i, klast_i = row(hist.y_new), row(hist.k_last)
+                t_end = jnp.where(is_last, t1, t_i + dt_eff)
+                in_window = (
+                    acc
+                    & ((saveat - t_i) * tdir > 0)
+                    & ((saveat - t_end) * tdir <= 0)
+                )
+                mk = lambda c: in_window.reshape(
+                    (-1,) + (1,) * (c.ndim - 1))
+                ct_interp = jax.tree_util.tree_map(
+                    lambda c: jnp.where(mk(c), c, 0.0), ct_ys)
+                ct_ys_next = jax.tree_util.tree_map(
+                    lambda c: jnp.where(mk(c), 0.0, c), ct_ys)
+                _, vjp_i = jax.vjp(
+                    _interp, t_i, dt_eff, y_i, ynew_i, f0_i, klast_i)
+                (di_t, di_dteff, di_y, di_ynew, di_f0,
+                 di_klast) = vjp_i(ct_interp)
+                ct_ynew = jax.tree_util.tree_map(jnp.add, ct_ynew, di_ynew)
+                ct_k7 = jax.tree_util.tree_map(jnp.add, ct_k7, di_klast)
 
             # scalar chain (controller / time update / telemetry)
             _, vjp_post = jax.vjp(
@@ -755,30 +835,33 @@ def _make_fast_adjoint_solve(
             )
 
             # dt_eff = where(is_last, t1 - t, dt)
-            ct_dteff = dp_dteff + k_ct_dteff + ct_tel_dt[i]
+            ct_dteff = dp_dteff + k_ct_dteff + ct_tel_dt[i] + di_dteff
             d_t_pre = jnp.where(is_last, -ct_dteff, 0.0)
             d_dt_pre = jnp.where(is_last, 0.0, ct_dteff)
             d_t1_pre = jnp.where(is_last, ct_dteff, 0.0)
 
             return (
                 i - 1,
-                (dp_t + k_ct_t + d_t_pre).astype(time_dtype),
+                (dp_t + k_ct_t + d_t_pre + di_t).astype(time_dtype),
                 d_dt_pre.astype(time_dtype),
                 dp_qold,
-                jax.tree_util.tree_map(jnp.add, ct_y_pass, ct_y_k),
-                jax.tree_util.tree_map(jnp.add, ct_f0_pass, ct_k1),
+                jax.tree_util.tree_map(
+                    lambda a, b, c: a + b + c, ct_y_pass, ct_y_k, di_y),
+                jax.tree_util.tree_map(
+                    lambda a, b, c: a + b + c, ct_f0_pass, ct_k1, di_f0),
+                ct_ys_next,
                 jax.tree_util.tree_map(jnp.add, ct_args, ct_args_i),
                 ct_t1x + dp_t1 + d_t1_pre,
                 ct_spanx + dp_span,
             )
 
-        (_, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_args,
+        (_, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys, ct_args,
          ct_t1x, ct_spanx) = lax.while_loop(cond, body, carry0)
 
         # span = |t1 - t0|
         ct_t1x = ct_t1x + tdir * ct_spanx
         ct_t0 = ct_t - tdir * ct_spanx
-        return (ct_t0, ct_t1x, ct_dt, ct_y, ct_f0, ct_args)
+        return (ct_t0, ct_t1x, ct_dt, ct_y, ct_f0, ct_ys, ct_args)
 
     solve.defvjp(solve_fwd, solve_bwd)
     return solve
@@ -922,28 +1005,29 @@ def odeint(
     )
 
     if mode == "adjoint":
-        fast = (
-            stage_sweep is not None
-            and stage_sweep_bwd is not None
-            and saveat is None
-            and axis_name is None
-        )
+        fast = stage_sweep is not None and stage_sweep_bwd is not None
         if fast:
             solve = _make_fast_adjoint_solve(
                 stage_sweep, stage_sweep_bwd, ctrl, max_steps,
                 time_dtype, err_dtype, _bwd_precision,
+                saveat=saveat, axis_name=axis_name,
             )
-            (y1, tel, _tf, _dtf, _qoldf, naccept, nreject, done) = solve(
-                t0, t1, init.dt, y0, f_init, args
-            )
+            ys_init = ys_buf if ys_buf is not None else ()
+            (y1, ys_out, tel, _tf, _dtf, _qoldf, naccept, nreject,
+             done) = solve(t0, t1, init.dt, y0, f_init, ys_init, args)
             nsteps = naccept + nreject
             stats = ODEStats(
                 nfe=jnp.asarray(nfe_init, jnp.int32)
                 + (tab.num_stages - 1) * nsteps,
                 naccept=naccept, nreject=nreject, success=done,
             )
-            return ODESolution(y1=y1, ys=None, ts=None, stats=stats,
-                               telemetry=tel)
+            return ODESolution(
+                y1=y1,
+                ys=ys_out if saveat is not None else None,
+                ts=saveat,
+                stats=stats,
+                telemetry=tel,
+            )
         solve = _make_adjoint_solve(
             func, tab, ctrl, rtol, atol, saveat, axis_name, stage_sweep,
             max_steps, time_dtype, err_dtype, _bwd_precision,

@@ -319,7 +319,21 @@ def make_normed_tsit5_sweep(
         y_new, k7, err_ssq, num_ssq, den_ssq = fused(t, dt, y, k1, leaves)
         return NormedSweep(y_new, k7, err_ssq, num_ssq, den_ssq)
 
-    return sweep, algebra
+    def sweep_bwd(t, dt, y, k1, leaves, cts):
+        """Direct backward for the fast adjoint (ops.ode
+        ``_make_fast_adjoint_solve``): one backward-kernel call, no forward
+        replay. ``cts`` = (ct_y_new, ct_k7, ct_err_ssq, ct_num_ssq,
+        ct_den_ssq); returns (ct_t, ct_dt, ct_y, ct_k1, ct_leaves)."""
+        cts = (cts[0], cts[1],
+               jnp.asarray(cts[2], f32), jnp.asarray(cts[3], f32),
+               jnp.asarray(cts[4], f32))
+        if _interpret_under_shard_map(y):
+            with jax.default_matmul_precision("highest"):
+                _, vjp_fn = jax.vjp(algebra, t, dt, y, k1, list(leaves))
+                return vjp_fn(cts)
+        return bwd_pallas(t, dt, y, k1, leaves, cts)
+
+    return sweep, sweep_bwd, algebra
 
 
 # ---------------------------------------------------------------------------
@@ -356,15 +370,42 @@ def alternating_mlp_apply(depth: int) -> Callable:
     return apply_fn
 
 
+def alternating_mlp_unflatten_cts(params, d_leaves, depth: int):
+    """Inverse of ``alternating_mlp_leaves`` for cotangents: rebuild the
+    flax param structure (biases were lifted to (1, X))."""
+    p = params["params"]
+    out = {}
+    idx = 0
+    for i in range(depth):
+        for name in (f"up_{i}", f"down_{i}"):
+            out[name] = {
+                "kernel": d_leaves[idx].astype(p[name]["kernel"].dtype),
+                "bias": d_leaves[idx + 1][0].astype(p[name]["bias"].dtype),
+            }
+            idx += 2
+    return {"params": out}
+
+
 def make_alternating_mlp_sweep(params, depth: int, rtol: float, atol: float):
-    """Fused trial-step sweep for ``NeuralODE(AlternatingMLP(...))``."""
+    """Fused trial-step sweep pair ``(sweep, sweep_bwd)`` for
+    ``NeuralODE(AlternatingMLP(...))`` — the backward feeds the fast
+    adjoint (ops.ode ``_make_fast_adjoint_solve``)."""
     leaves = alternating_mlp_leaves(params, depth)
-    sweep, _ = make_normed_tsit5_sweep(
+    sweep, sweep_bwd, _ = make_normed_tsit5_sweep(
         alternating_mlp_apply(depth), [False] * len(leaves), rtol, atol
     )
-    return lambda t, dt, y, k1, p: sweep(
-        t, dt, y, k1, alternating_mlp_leaves(p, depth)
-    )
+
+    def fwd(t, dt, y, k1, p):
+        return sweep(t, dt, y, k1, alternating_mlp_leaves(p, depth))
+
+    def bwd(t, dt, y, k1, p, cts):
+        ct_t, ct_dt, d_y, d_k1, d_leaves = sweep_bwd(
+            t, dt, y, k1, alternating_mlp_leaves(p, depth), cts
+        )
+        return (ct_t, ct_dt, d_y, d_k1,
+                alternating_mlp_unflatten_cts(p, d_leaves, depth))
+
+    return fwd, bwd
 
 
 def csl_aug_leaves(params, e: jnp.ndarray) -> List[jnp.ndarray]:
@@ -422,14 +463,56 @@ def csl_aug_apply(dim: int, kinetic: bool) -> Callable:
     return apply_fn
 
 
+def csl_unflatten_cts(params, d_leaves):
+    """Inverse of ``csl_aug_leaves`` for cotangents, dropping the probe's
+    cotangent (``e`` is an RNG draw — nothing differentiates w.r.t. it)."""
+    p = params["params"]
+    out = {}
+    idx = 0
+    for name in ("csl1", "csl2", "csl3"):
+        layer = p[name]
+        out[name] = {
+            "layer": {
+                "kernel": d_leaves[idx].astype(
+                    layer["layer"]["kernel"].dtype),
+                "bias": d_leaves[idx + 1][0].astype(
+                    layer["layer"]["bias"].dtype),
+            },
+            "gate": {
+                "kernel": d_leaves[idx + 2].astype(
+                    layer["gate"]["kernel"].dtype),
+            },
+            "bias": {
+                "kernel": d_leaves[idx + 3].astype(
+                    layer["bias"]["kernel"].dtype),
+                "bias": d_leaves[idx + 4][0].astype(
+                    layer["bias"]["bias"].dtype),
+            },
+        }
+        idx += 5
+    return {"params": out}
+
+
 def make_csl_ffjord_sweep(params, e: jnp.ndarray, dim: int, kinetic: bool,
                           rtol: float, atol: float):
-    """Fused trial-step sweep for ``FFJORD(CSLDynamics(...))`` with the
-    analytic-VJP augmented dynamics."""
+    """Fused trial-step sweep pair ``(sweep, sweep_bwd)`` for
+    ``FFJORD(CSLDynamics(...))`` with the analytic-VJP augmented
+    dynamics. The probe ``e`` is baked into both directions; its cotangent
+    is discarded (it is a per-solve RNG draw)."""
     n_leaves = len(csl_aug_leaves(params, e))
-    sweep, _ = make_normed_tsit5_sweep(
+    sweep, sweep_bwd, _ = make_normed_tsit5_sweep(
         csl_aug_apply(dim, kinetic),
         [False] * (n_leaves - 1) + [True],  # the probe is batch-aligned
         rtol, atol,
     )
-    return lambda t, dt, u, k1, p: sweep(t, dt, u, k1, csl_aug_leaves(p, e))
+
+    def fwd(t, dt, u, k1, p):
+        return sweep(t, dt, u, k1, csl_aug_leaves(p, e))
+
+    def bwd(t, dt, u, k1, p, cts):
+        ct_t, ct_dt, d_u, d_k1, d_leaves = sweep_bwd(
+            t, dt, u, k1, csl_aug_leaves(p, e), cts
+        )
+        return ct_t, ct_dt, d_u, d_k1, csl_unflatten_cts(p, d_leaves)
+
+    return fwd, bwd

@@ -179,10 +179,20 @@ def _pick_block(batch: int, target: int = 128) -> int:
     tile rows; padded rows would pollute the weight cotangents), and the
     Pallas TPU lowering requires the sublane block dim be divisible by 8
     OR equal to the full array dim — so when no 8-divisible divisor
-    exists (odd/partial batches), fall back to one whole-batch block."""
+    exists (odd/partial batches), fall back to one whole-batch block.
+    That fallback is only safe while the whole batch fits the ~16MB
+    scoped-VMEM budget, so large 8-indivisible batches are rejected with
+    a clear error instead of failing deep inside the Mosaic compiler."""
     for b in range(min(target, batch), 0, -1):
         if batch % b == 0 and b % 8 == 0:
             return b
+    if batch > max(2 * target, 256):
+        raise ValueError(
+            f"fused kernels tile the batch in 8-divisible blocks <= {target};"
+            f" batch={batch} has no such divisor and is too large for one"
+            " whole-batch VMEM block — pad the batch to a multiple of 8 or"
+            " construct the model with fused=False"
+        )
     return batch
 
 

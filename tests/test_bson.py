@@ -152,7 +152,8 @@ class TestSdeDemoRealData:
 
         shutil.copy(REF_SDE_DEMO, tmp_path / "sde_demo.bson")
         monkeypatch.setenv("REGNDE_DATA_DIR", str(tmp_path))
-        means, vars_, ts = D.make_sde_demo()
+        means, vars_, ts, source = D.make_sde_demo()
+        assert source.startswith("bson:")
         ref = bson.load_bson(REF_SDE_DEMO)
         np.testing.assert_array_equal(means, ref["sde_data"].T)
         np.testing.assert_array_equal(vars_, ref["sde_data_vars"].T)

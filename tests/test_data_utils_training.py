@@ -62,10 +62,11 @@ class TestLoaders:
         assert 3.0 < r.mean() < 7.0  # ring radius ~5
 
     def test_sde_demo(self):
-        means, vars_, ts = D.make_sde_demo()
+        means, vars_, ts, source = D.make_sde_demo()
         assert means.shape == (30, 2) and vars_.shape == (30, 2)
         assert np.allclose(means[0], [2.0, 0.0], atol=1e-5)
         assert np.isfinite(means).all() and (vars_ >= 0).all()
+        assert source == "synthetic" or source.startswith("bson:")
 
     def test_drop_last(self):
         dl = D.DataLoader((np.arange(10).reshape(10, 1),), 3, drop_last=True)

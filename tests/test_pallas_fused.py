@@ -330,12 +330,14 @@ class TestFastAdjoint:
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_scan),
                                    rtol=1e-3, atol=1e-6)
 
-    def test_saveat_falls_back_to_general_adjoint(self):
-        # fast path requires no saveat; with saveat the general adjoint
-        # runs and trajectories still match the scan oracle.
+    def test_saveat_fast_adjoint_matches_scan(self):
+        # round-3: the fast adjoint handles saveat solves directly (stored
+        # Hermite primals, no kernel replay). Forward AND gradients must
+        # match the scan oracle, including gradient flow through the
+        # interpolated trajectory.
         m = MLPDynamics(dim=8, hidden=6)
         x = jax.random.normal(KEY, (4, 8)) * 0.5
-        sa = jnp.asarray([0.0, 0.5, 1.0])
+        sa = jnp.asarray([0.0, 0.3, 0.5, 0.77, 1.0])
         node = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48, fused=True,
                          saveat=sa)
         p = node.init(jax.random.PRNGKey(1), x)
@@ -343,3 +345,87 @@ class TestFastAdjoint:
         os_ = node(p, x, mode="scan")
         np.testing.assert_allclose(np.asarray(oa.value), np.asarray(os_.value),
                                    rtol=1e-5, atol=1e-7)
+        assert int(oa.nfe) == int(os_.nfe)
+
+        def loss(p, mode):
+            out = node(p, x, mode=mode)
+            reg = jnp.sum(jnp.where(out.telemetry.accepted,
+                                    out.telemetry.eest * out.telemetry.dt,
+                                    0.0))
+            # weight the trajectory so interpolation cotangents are
+            # non-trivial per save point
+            w = jnp.arange(1.0, sa.shape[0] + 1.0)[None, :, None]
+            return jnp.sum(w * out.value ** 2) + 0.3 * reg
+
+        g_fast = jax.grad(lambda p: loss(p, "adjoint"))(p)
+        g_scan = jax.grad(lambda p: loss(p, "scan"))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g_fast),
+                        jax.tree_util.tree_leaves(g_scan)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+
+    def test_dp_fast_adjoint_matches_single_device(self):
+        # round-3: the fast adjoint composes with axis_name — the norm
+        # scalars are psum'd in both directions, so DP gradients must
+        # match the single-device fast adjoint bit-for-bit in structure
+        # and to rounding in value.
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+        from regneuralde_tpu import parallel as par
+        from regneuralde_tpu.ops.pallas_mlp import (
+            mlp_dynamics_normed_sweep,
+            mlp_dynamics_normed_sweep_bwd,
+        )
+
+        m = MLPDynamics(dim=8, hidden=6)
+        x = jax.random.normal(KEY, (16, 8)) * 0.5
+        rtol = atol = 1e-4
+        p = m.init(jax.random.PRNGKey(1), x, 0.0)
+        f = lambda t, yy, pp: m.apply(pp, yy, t)
+        mesh = par.make_mesh(8)
+        sweep = lambda t, dt, yy, f0, pp: mlp_dynamics_normed_sweep(
+            t, dt, yy, f0, pp, rtol, atol)
+        sweep_bwd = lambda t, dt, yy, k1, pp, cts: (
+            mlp_dynamics_normed_sweep_bwd(t, dt, yy, k1, pp, cts, rtol, atol))
+
+        def loss(p, x, axis):
+            sol = odeint(f, x, 0.0, 1.0, p, rtol=rtol, atol=atol,
+                         max_steps=48, mode="adjoint", axis_name=axis,
+                         stage_sweep=sweep, stage_sweep_bwd=sweep_bwd)
+            reg = jnp.sum(jnp.where(sol.telemetry.accepted,
+                                    sol.telemetry.eest * sol.telemetry.dt,
+                                    0.0))
+            return jnp.mean(sol.y1 ** 2) + 0.1 * reg
+
+        g_ref = jax.grad(lambda pp: loss(pp, x, None))(p)
+
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(), P("data")), out_specs=P())
+        def shard_grad(p, x):
+            return jax.grad(
+                lambda pp: jax.lax.pmean(loss(pp, x, "data"), "data"))(p)
+
+        g_dp = shard_grad(p, x)
+        for a, b in zip(jax.tree_util.tree_leaves(g_dp),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=5e-4)
+
+    def test_saveat_fast_adjoint_x0_gradient(self):
+        # the trajectory buffer's pass-through cotangent must reach x0
+        # (entries at/before t0 hold the initial state).
+        m = MLPDynamics(dim=8, hidden=6)
+        sa = jnp.asarray([0.0, 0.4, 1.0])
+        node = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48, fused=True,
+                         saveat=sa)
+        x = jax.random.normal(KEY, (4, 8)) * 0.5
+        p = node.init(jax.random.PRNGKey(1), x)
+
+        def loss(x, mode):
+            return jnp.sum(node(p, x, mode=mode).value ** 2)
+
+        g_fast = jax.grad(lambda x: loss(x, "adjoint"))(x)
+        g_scan = jax.grad(lambda x: loss(x, "scan"))(x)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_scan),
+                                   rtol=2e-3, atol=1e-5)

@@ -38,7 +38,7 @@ class TestAlternatingMLPFused:
         m, y, p = self._setup()
         f = lambda t, yy, pp: m.apply(pp, yy)
         rtol = atol = 1e-5
-        sweep = make_alternating_mlp_sweep(p, m.depth, rtol, atol)
+        sweep, _ = make_alternating_mlp_sweep(p, m.depth, rtol, atol)
         kw = dict(rtol=rtol, atol=atol, max_steps=64)
         s_gen = odeint(f, y, 0.0, 1.0, p, **kw)
         s_fus = odeint(f, y, 0.0, 1.0, p, stage_sweep=sweep, **kw)
@@ -56,7 +56,7 @@ class TestAlternatingMLPFused:
 
         def loss(p, fused):
             sweep = (
-                make_alternating_mlp_sweep(p, m.depth, rtol, atol)
+                make_alternating_mlp_sweep(p, m.depth, rtol, atol)[0]
                 if fused else None
             )
             sol = odeint(f, y, 0.0, 1.0, p, rtol=rtol, atol=atol,
@@ -90,6 +90,39 @@ class TestAlternatingMLPFused:
     def test_fused_flag_rejects_plain_mlp(self):
         with pytest.raises(ValueError, match="AlternatingMLP"):
             NeuralODE(MLP(features=(4,)), fused=True)
+
+    def test_saveat_fast_adjoint_matches_scan(self):
+        # The latent-ODE shape (reference: experiments/latent_ode.jl:225-269):
+        # AlternatingMLP dynamics decoded on a saveat grid, trained through
+        # the trajectory — the round-3 fast adjoint must match the scan
+        # oracle in forward, NFE, and gradients.
+        m, y, p0 = self._setup(batch=4, dim=6, hidden=10, depth=2)
+        sa = jnp.asarray([0.0, 0.2, 0.5, 0.8, 1.0])
+        node = NeuralODE(m, time_dep=False, rtol=1e-4, atol=1e-4,
+                         max_steps=48, saveat=sa, fused=True)
+        p = node.init(jax.random.PRNGKey(1), y)
+
+        oa = node(p, y, mode="adjoint")
+        os_ = node(p, y, mode="scan")
+        assert int(oa.nfe) == int(os_.nfe)
+        np.testing.assert_allclose(np.asarray(oa.value),
+                                   np.asarray(os_.value),
+                                   rtol=1e-5, atol=1e-7)
+
+        def loss(p, mode):
+            out = node(p, y, mode=mode)
+            reg = jnp.sum(jnp.where(out.telemetry.accepted,
+                                    out.telemetry.eest * out.telemetry.dt,
+                                    0.0))
+            w = jnp.arange(1.0, sa.shape[0] + 1.0)[None, :, None]
+            return jnp.sum(w * out.value ** 2) + 0.2 * reg
+
+        g_fast = jax.grad(lambda p: loss(p, "adjoint"))(p)
+        g_scan = jax.grad(lambda p: loss(p, "scan"))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g_fast),
+                        jax.tree_util.tree_leaves(g_scan)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
 
 
 class TestCSLFFJORDFused:

@@ -96,7 +96,10 @@ def bin_record(triples: Iterable[Tuple[float, int, float]],
                n_steps: int = N_STEPS,
                window_hours: float = WINDOW_HOURS):
     """Average observations onto ``n_steps`` uniform stamps over the
-    window. Returns (data (n_steps, F), mask (n_steps, F))."""
+    window, assigning each observation to its NEAREST stamp (bin
+    boundaries sit halfway between stamps, i.e. offset half a bin from a
+    floor-style hourly binning — an observation at hour 0.6 lands on
+    stamp 1). Returns (data (n_steps, F), mask (n_steps, F))."""
     data = np.zeros((n_steps, len(PARAMS)), np.float64)
     count = np.zeros((n_steps, len(PARAMS)), np.int64)
     scale = (n_steps - 1) / window_hours
