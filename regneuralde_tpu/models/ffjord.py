@@ -79,11 +79,13 @@ class FFJORD:
         self.axis_name = axis_name
         from regneuralde_tpu.models.basic import CSLDynamics as _CSL
 
+        if fused not in (False, True, "step", "solve"):
+            raise ValueError("fused must be False, True, 'step' or 'solve'")
         if fused and not (
             solver == "tsit5" and isinstance(dynamics, _CSL) and self.analytic_vjp
         ):
             raise ValueError(
-                "fused=True requires solver='tsit5', CSLDynamics dynamics, "
+                "fused requires solver='tsit5', CSLDynamics dynamics, "
                 "and analytic_vjp"
             )
         self.fused = fused
@@ -130,6 +132,33 @@ class FFJORD:
             e = jax.random.normal(key, x.shape, x.dtype)
         n_aux = 3 if kinetic_reg else 1
         u0 = jnp.concatenate([x, jnp.zeros((batch, n_aux), x.dtype)], axis=-1)
+
+        if self.fused and mode == "adjoint" and self.axis_name is None:
+            from regneuralde_tpu.ops.pallas_generic import (
+                csl_aug_apply,
+                csl_aug_leaves,
+            )
+            from regneuralde_tpu.ops.pallas_solve import (
+                vmem_estimate,
+                whole_solve_odeint,
+            )
+
+            eligible = (
+                self.fused == "solve"
+                or (self.fused is True
+                    and vmem_estimate(batch, u0.shape[-1]) <= 12 * 2**20)
+            )
+            if eligible:
+                sol = whole_solve_odeint(
+                    self._aug_dynamics(kinetic_reg, e),
+                    csl_aug_apply(self.input_dim, kinetic_reg),
+                    lambda p: csl_aug_leaves(p, e),
+                    u0, self.tspan[0], self.tspan[1], params,
+                    rtol=self.rtol, atol=self.atol,
+                    max_steps=self.max_steps,
+                )
+                return self._finish(sol, x, kinetic_reg)
+
         stage_sweep = None
         stage_sweep_bwd = None
         if self.fused:
@@ -153,6 +182,10 @@ class FFJORD:
             stage_sweep=stage_sweep,
             stage_sweep_bwd=stage_sweep_bwd,
         )
+        return self._finish(sol, x, kinetic_reg)
+
+    def _finish(self, sol, x, kinetic_reg: bool) -> FFJORDOutput:
+        batch = x.shape[0]
         pred = sol.y1
         z = pred[:, : self.input_dim]
         delta_logp = pred[:, self.input_dim]

@@ -73,24 +73,52 @@ class NeuralODE:
         self.max_steps = max_steps
         self.saveat = saveat
         self.axis_name = axis_name
-        # Fused Pallas trial step: the whole Tsit5 stage sweep (six
-        # dynamics evaluations + stage lincombs + embedded error + norm
-        # reductions) runs VMEM-resident in one kernel per batch tile.
-        # Supported dynamics: MLPDynamics (hand-tuned kernel pair) and
-        # AlternatingMLP (generic vjp-traced kernel builder).
+        # Fused Pallas execution. Two granularities exist:
+        #   "step"  — one kernel per trial step (the whole Tsit5 stage
+        #             sweep VMEM-resident per batch tile; composes with
+        #             axis_name data parallelism via psum'd norm scalars);
+        #   "solve" — ONE kernel per solve direction (the adaptive loop,
+        #             controller, saveat interpolation, and the reverse
+        #             cotangent chain all in-kernel; ops.pallas_solve) —
+        #             fastest for small dynamics, but single-device only
+        #             and the whole batch must fit VMEM.
+        #   True    — auto: "solve" where eligible, else "step".
+        # Supported dynamics: MLPDynamics and AlternatingMLP.
         from regneuralde_tpu.models.basic import (
             AlternatingMLP as _AltMLP,
             MLPDynamics as _MLPD,
         )
 
+        if fused not in (False, True, "step", "solve"):
+            raise ValueError("fused must be False, True, 'step' or 'solve'")
         if fused and not (
             solver == "tsit5" and isinstance(dynamics, (_MLPD, _AltMLP))
         ):
             raise ValueError(
-                "fused=True requires solver='tsit5' and MLPDynamics or "
+                "fused requires solver='tsit5' and MLPDynamics or "
                 "AlternatingMLP dynamics"
             )
         self.fused = fused
+
+    def _whole_solve_parts(self, params):
+        """(apply_fn, flatten) pair for the whole-solve kernel."""
+        from regneuralde_tpu.models.basic import MLPDynamics as _MLPD
+
+        if isinstance(self.dynamics, _MLPD):
+            from regneuralde_tpu.ops.pallas_mlp import _mlp_k, _split_params
+
+            def apply_fn(t, y, leaves):
+                return _mlp_k(y, t, *leaves)
+
+            return apply_fn, lambda p: list(_split_params(p))
+        from regneuralde_tpu.ops.pallas_generic import (
+            alternating_mlp_apply,
+            alternating_mlp_leaves,
+        )
+
+        depth = self.dynamics.depth
+        return (alternating_mlp_apply(depth),
+                lambda p: alternating_mlp_leaves(p, depth))
 
     def init(self, key: jax.Array, x: jnp.ndarray) -> Any:
         if not isinstance(self.dynamics, nn.Module):
@@ -127,6 +155,34 @@ class NeuralODE:
     ) -> NeuralDEOutput:
         t0, t1 = tspan if tspan is not None else self.tspan
         saveat = saveat if saveat is not None else self.saveat
+
+        if self.fused and mode == "adjoint" and self.axis_name is None:
+            from regneuralde_tpu.ops.pallas_solve import (
+                vmem_estimate,
+                whole_solve_odeint,
+            )
+
+            n_save = 0 if saveat is None else int(saveat.shape[0])
+            eligible = (
+                self.fused == "solve"
+                or (self.fused is True
+                    and vmem_estimate(x.shape[0], x.shape[-1], n_save)
+                    <= 12 * 2**20)
+            )
+            if eligible:
+                apply_fn, flatten = self._whole_solve_parts(params)
+                sol = whole_solve_odeint(
+                    self._func, apply_fn, flatten, x, t0, t1, params,
+                    rtol=self.rtol, atol=self.atol,
+                    max_steps=self.max_steps, saveat=saveat,
+                )
+                value = (jnp.swapaxes(sol.ys, 0, 1)
+                         if saveat is not None else sol.y1)
+                return NeuralDEOutput(
+                    value=value, nfe=sol.stats.nfe,
+                    telemetry=sol.telemetry, solution=sol,
+                )
+
         stage_sweep = None
         stage_sweep_bwd = None
         if self.fused:

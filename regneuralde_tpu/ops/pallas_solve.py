@@ -1,0 +1,1263 @@
+"""Whole-solve fused Tsit5 kernels: ONE Pallas launch per direction.
+
+The step-level fused kernels (ops.pallas_mlp / ops.pallas_generic) remove
+HBM round-trips *within* a trial step, but the solve still executes one
+XLA while-loop iteration per trial step — kernel launch, controller glue,
+history-buffer updates — which dominates wall clock for small dynamics
+(measured round 3: the latent-ODE forward costs ~76 us per trial step on
+one v5e against a ~1 us compute floor). This module moves the ENTIRE
+adaptive loop inside a single Pallas kernel:
+
+* forward: an in-kernel ``lax.while_loop`` runs trial steps with the
+  carry (t, dt, qold, y, f0) VMEM/register-resident; per-step history
+  (the step-start state and FSAL derivative) is DMA'd to lane-padded
+  HBM buffers; controller scalars and telemetry go to SMEM streams;
+  ``saveat`` rows are Hermite-interpolated into a VMEM buffer updated in
+  static chunks (full-array temporaries would blow the ~16MB VMEM budget)
+  that is input/output-aliased so only one copy exists.
+* backward: a second kernel walks the history in reverse, DMA-ing rows
+  back in and seeding ``jax.vjp`` of the SAME in-kernel ``trial_step``
+  function with the running cotangents — the reverse chain (stage
+  recompute, transposed contractions, controller pullback, Hermite
+  transpose) is derived by tracing, not hand-written, so it is
+  consistent with the forward by construction. Save-window cotangent
+  rows are consumed exactly once (accepted windows partition the span),
+  so the save-buffer cotangent needs no threading — unconsumed rows pass
+  through to the initial buffer (they hold the t<=t0 seeds).
+
+Gradient contract: identical math to ops.ode's scan/adjoint engines
+(same ``_stage_algebra``, ``_normed_scalars``, ``PIController.propose``),
+pinned by tests. Scope: dynamics whose whole batch fits VMEM (the
+latent-ODE AlternatingMLP and FFJORD CSL families). The 784-wide MNIST
+flagship keeps the step-level fast adjoint (its stage stacks need batch
+tiling); data-parallel solves also stay on the step path (per-step psum
+cannot happen inside one kernel).
+
+Reference parity: this replaces the OrdinaryDiffEq integrator loop +
+SensitivityADPassThrough tape the reference drives per solve
+(reference: src/models/neural_ode.jl:110-144, experiments/latent_ode.jl:225-269).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from regneuralde_tpu.ops.controller import PIController, initial_step_size
+from regneuralde_tpu.ops.ode import (
+    ODESolution,
+    ODEStats,
+    StepTelemetry,
+    _normed_scalars,
+)
+from regneuralde_tpu.ops.pallas_generic import _stage_algebra
+from regneuralde_tpu.ops.tableaus import TSIT5
+
+f32 = jnp.float32
+i32 = jnp.int32
+
+_SAVE_CHUNK = 4  # save rows interpolated per chunk (VMEM bound: at the
+# latent shape, chunk=8 left the backward kernel 396KB over the 16MB
+# scoped limit)
+
+
+def _pad128(d: int) -> int:
+    return ((d + 127) // 128) * 128
+
+
+def vmem_estimate(batch: int, dim: int, n_save: int = 0) -> int:
+    """Rough peak-VMEM bound for the backward kernel: the traced vjp of
+    the stage algebra keeps ~16 batch-size arrays live (7 k's, hidden
+    activations, their cotangents), plus the aliased save buffer."""
+    row = batch * _pad128(dim) * 4
+    return 20 * row + n_save * row
+
+
+def make_whole_solve(
+    apply_fn: Callable,
+    rtol: float,
+    atol: float,
+    *,
+    controller: Optional[PIController] = None,
+    max_steps: int,
+    n_save: int = 0,
+    interpret: Optional[bool] = None,
+):
+    """Build ``solve(t0, t1, dt0, y0, f0, ys0, saveat, leaves)`` with a
+    one-kernel forward and a one-kernel custom-vjp backward.
+
+    ``apply_fn(t, y, leaves)`` is the dynamics over a flat list of 2-D
+    leaves (the ``ops.pallas_generic`` convention); ``n_save`` is the
+    static length of ``saveat`` (0 = final-state solve; then ``ys0`` and
+    ``saveat`` must be ``()``).
+
+    Returns ``(y1, ys, tel, t_f, dt_f, qold_f, naccept, nreject, done)``
+    with ``tel`` a ``StepTelemetry`` and ``ys`` shaped
+    ``(n_save, batch, dim)`` (or ``()``).
+    """
+    ctrl = controller or PIController.for_order(TSIT5.order)
+    algebra = _stage_algebra(apply_fn, rtol, atol)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def trial_step(t, dt, qold, y, f0, t1, span, tdir, count, leaves):
+        """One trial step as a pure function of loaded values — the unit
+        both kernels share (the backward differentiates it with jax.vjp,
+        so forward/backward stay op-for-op consistent)."""
+        remaining = t1 - t
+        is_last = (dt - remaining) * tdir >= 0
+        dt_eff = jnp.where(is_last, remaining, dt)
+        y_new, k7, e, n, d = algebra(t, dt_eff, y, f0, leaves)
+        eest, eigen = _normed_scalars(e, n, d, count, f32)
+        accept = eest <= 1.0
+        # Controller update on (1,1) vectors: Mosaic's scalar core has no
+        # powf lowering, so `eest**beta1` must run on the VPU.
+        dt_next, qold_next = ctrl.propose(
+            jnp.reshape(dt_eff, (1, 1)), jnp.reshape(eest, (1, 1)),
+            jnp.reshape(qold, (1, 1)), jnp.reshape(accept, (1, 1)))
+        dt_next = dt_next[0, 0]
+        qold_next = qold_next[0, 0]
+        dt_next = jnp.sign(dt_next) * jnp.minimum(jnp.abs(dt_next), span)
+        t_new = jnp.where(accept, jnp.where(is_last, t1, t + dt_eff), t)
+        y_out = jnp.where(accept, y_new, y)
+        f0_out = jnp.where(accept, k7, f0)
+        tel_t = jnp.where(is_last, t1, t + dt_eff)
+        acc_f = accept.astype(f32)
+        done_f = (accept & is_last).astype(f32)
+        return (t_new, dt_next, qold_next, y_out, f0_out,
+                tel_t, dt_eff, eest, eigen, acc_f, done_f)
+
+    def _hermite_chunk(t, dt_eff, y, y_new, f0, k7, sa_c):
+        """Cubic Hermite rows for one static saveat chunk; ``sa_c`` has
+        shape (cs, 1, dim) — the save times replicated across lanes
+        (degenerate (cs, 1, 1) layouts hang the Mosaic compiler).
+        Matches ops.ode._hermite_eval's formula."""
+        th = (sa_c - t) / jnp.where(dt_eff == 0.0, 1.0, dt_eff)
+        dy = y_new - y
+        return (
+            (1 - th) * y[None]
+            + th * y_new[None]
+            + th * (th - 1) * (
+                (1 - 2 * th) * dy[None]
+                + (th - 1) * dt_eff * f0[None]
+                + th * dt_eff * k7[None]
+            )
+        )
+
+    def _window_mask(t, dt_eff, is_last, t1, tdir, acc_b, sa_c):
+        t_end = jnp.where(is_last, t1, t + dt_eff)
+        return acc_b & ((sa_c - t) * tdir > 0) & ((sa_c - t_end) * tdir <= 0)
+
+    def _chunks():
+        out = []
+        c0 = 0
+        while c0 < n_save:
+            out.append((c0, min(_SAVE_CHUNK, n_save - c0)))
+            c0 += _SAVE_CHUNK
+        return out
+
+    # ------------------------------------------------------------------
+    # forward kernel
+    # ------------------------------------------------------------------
+
+    def make_fwd_kernel(n_leaves):
+        def kernel(*refs):
+            k = 0
+            t0r = refs[k]; k += 1
+            t1r = refs[k]; k += 1
+            dt0r = refs[k]; k += 1
+            y0r = refs[k]; k += 1
+            f0r = refs[k]; k += 1
+            if n_save:
+                sar = refs[k]; k += 1
+                ys0r = refs[k]; k += 1
+            leaf_refs = refs[k:k + n_leaves]; k += n_leaves
+            y1r = refs[k]; k += 1
+            if n_save:
+                ysr = refs[k]; k += 1
+            telt = refs[k]; k += 1
+            teldt = refs[k]; k += 1
+            tele = refs[k]; k += 1
+            telg = refs[k]; k += 1
+            telacc = refs[k]; k += 1
+            tellive = refs[k]; k += 1
+            ht = refs[k]; k += 1
+            hdt = refs[k]; k += 1
+            hqold = refs[k]; k += 1
+            tfr = refs[k]; k += 1
+            dtfr = refs[k]; k += 1
+            qoldfr = refs[k]; k += 1
+            nar = refs[k]; k += 1
+            nrr = refs[k]; k += 1
+            doner = refs[k]; k += 1
+            hyr = refs[k]; k += 1
+            hfr = refs[k]; k += 1
+            cpy = refs[k]; k += 1
+            cpf = refs[k]; k += 1
+            sem = refs[k]; k += 1
+
+            t0 = t0r[0, 0]
+            t1 = t1r[0, 0]
+            dt0 = dt0r[0, 0]
+            tdir = jnp.sign(t1 - t0)
+            span = jnp.abs(t1 - t0)
+            leaves = [r[:] for r in leaf_refs]
+            y0 = y0r[:]
+            dim = y0.shape[-1]
+            count = jnp.asarray(float(y0.shape[0] * y0.shape[1]), f32)
+            if n_save:
+                sa = sar[:]  # (n_save, 1, dim), lane-replicated
+                # ysr is input/output-aliased with ys0r: rows already hold
+                # the initial seeds; nothing to copy.
+
+            def zero_body(i, _):
+                telt[i] = 0.0
+                teldt[i] = 0.0
+                tele[i] = 0.0
+                telg[i] = 0.0
+                telacc[i] = 0.0
+                tellive[i] = 0.0
+                ht[i] = 0.0
+                hdt[i] = 0.0
+                hqold[i] = 0.0
+                return 0
+
+            lax.fori_loop(0, max_steps, zero_body, 0)
+
+            def cond(c):
+                i, t, dt, qold, na, nr, done, y, f0 = c
+                return (done == 0) & (i < max_steps)
+
+            def body(c):
+                i, t, dt, qold, na, nr, done, y, f0 = c
+                ht[i] = t
+                hdt[i] = dt
+                hqold[i] = qold
+                cpy[:, :dim] = y
+                cpf[:, :dim] = f0
+                d1 = pltpu.make_async_copy(cpy, hyr.at[i], sem.at[0])
+                d2 = pltpu.make_async_copy(cpf, hfr.at[i], sem.at[1])
+                d1.start()
+                d2.start()
+                (t_new, dt_next, qold_next, y_out, f0_out, tel_t, dt_eff,
+                 eest, eigen, acc_f, done_f) = trial_step(
+                    t, dt, qold, y, f0, t1, span, tdir, count, leaves)
+                if n_save:
+                    acc_b = acc_f > 0.5
+                    remaining = t1 - t
+                    is_last = (dt - remaining) * tdir >= 0
+
+                    # y_out/f0_out equal (y_new, k7) when accepted, and the
+                    # window mask includes `accept`, so they are valid
+                    # interpolation primals wherever the mask fires. Each
+                    # accepted step's window holds only ~0-2 save points,
+                    # so every chunk is gated on its mask actually firing —
+                    # Mosaic lowers pl.when to real control flow, skipping
+                    # the Hermite work for the other ~n_save points.
+                    for c0, cs in _chunks():
+                        sa_c = sa[c0:c0 + cs]
+                        mask = _window_mask(t, dt_eff, is_last, t1, tdir,
+                                            acc_b, sa_c)
+                        fires = jnp.any(mask)
+
+                        def _update(c0=c0, cs=cs, sa_c=sa_c, mask=mask):
+                            yi = _hermite_chunk(t, dt_eff, y, y_out, f0,
+                                                f0_out, sa_c)
+                            ysr[c0:c0 + cs] = jnp.where(mask, yi,
+                                                        ysr[c0:c0 + cs])
+
+                        pl.when(fires)(_update)
+                telt[i] = tel_t
+                teldt[i] = dt_eff
+                tele[i] = eest
+                telg[i] = eigen
+                telacc[i] = acc_f
+                tellive[i] = 1.0
+                d1.wait()
+                d2.wait()
+                acc_i = acc_f.astype(i32)
+                return (i + 1, t_new.astype(f32), dt_next.astype(f32),
+                        qold_next.astype(f32), na + acc_i, nr + 1 - acc_i,
+                        (done_f > 0).astype(i32), y_out, f0_out)
+
+            done0 = (span == 0.0).astype(i32)
+            init = (jnp.asarray(0, i32), t0, dt0,
+                    jnp.asarray(ctrl.qoldinit, f32), jnp.asarray(0, i32),
+                    jnp.asarray(0, i32), done0, y0, f0r[:])
+            (_, t, dt, qold, na, nr, done, y, f0) = lax.while_loop(
+                cond, body, init)
+            y1r[:] = y
+            tfr[0, 0] = t
+            dtfr[0, 0] = dt
+            qoldfr[0, 0] = qold
+            nar[0, 0] = na
+            nrr[0, 0] = nr
+            doner[0, 0] = done
+
+        return kernel
+
+    # ------------------------------------------------------------------
+    # backward kernel
+    # ------------------------------------------------------------------
+
+    def make_bwd_kernel(n_leaves, leaf_shapes, batch, dim):
+        dpad = _pad128(dim)
+
+        def kernel(*refs):
+            k = 0
+            t0r = refs[k]; k += 1
+            t1r = refs[k]; k += 1
+            nsr = refs[k]; k += 1
+            cttfr = refs[k]; k += 1
+            ctdtfr = refs[k]; k += 1
+            ctqoldfr = refs[k]; k += 1
+            ht = refs[k]; k += 1
+            hdt = refs[k]; k += 1
+            hqold = refs[k]; k += 1
+            cttelt = refs[k]; k += 1
+            ctteldt = refs[k]; k += 1
+            cttele = refs[k]; k += 1
+            cttelg = refs[k]; k += 1
+            cty1r = refs[k]; k += 1
+            if n_save:
+                sar = refs[k]; k += 1
+                ctysr_in = refs[k]; k += 1
+            leaf_refs = refs[k:k + n_leaves]; k += n_leaves
+            hyr = refs[k]; k += 1
+            hfr = refs[k]; k += 1
+            # outputs
+            cty0r = refs[k]; k += 1
+            ctf0r = refs[k]; k += 1
+            if n_save:
+                ctys0r = refs[k]; k += 1  # aliased with ctysr_in
+            ctleaf_refs = refs[k:k + n_leaves]; k += n_leaves
+            ctt0r = refs[k]; k += 1
+            ctt1r = refs[k]; k += 1
+            ctdt0r = refs[k]; k += 1
+            ldy = refs[k]; k += 1
+            ldf = refs[k]; k += 1
+            sem = refs[k]; k += 1
+
+            t0 = t0r[0, 0]
+            t1 = t1r[0, 0]
+            ns = nsr[0, 0]
+            tdir = jnp.sign(t1 - t0)
+            span = jnp.abs(t1 - t0)
+            leaves = [r[:] for r in leaf_refs]
+            count = jnp.asarray(float(batch * dim), f32)
+            if n_save:
+                sa = sar[:]
+
+            step_fn = lambda t_, dt_, q_, y_, f_, t1_, sp_, ls_: trial_step(
+                t_, dt_, q_, y_, f_, t1_, sp_, tdir, count, ls_)
+
+            ct_leaves0 = tuple(jnp.zeros(s, f32) for s in leaf_shapes)
+            consumed0 = (jnp.zeros((n_save, 1, dim), f32) if n_save
+                         else jnp.zeros((), f32))
+            carry0 = (
+                cttfr[0, 0], ctdtfr[0, 0], ctqoldfr[0, 0],
+                cty1r[:], jnp.zeros((batch, dim), f32),
+                jnp.zeros((), f32), jnp.zeros((), f32),
+                consumed0,
+            ) + ct_leaves0
+
+            def body(j, c):
+                (ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_t1a, ct_spana,
+                 consumed) = c[:8]
+                ct_ls = c[8:]
+                i = ns - 1 - j
+                d1 = pltpu.make_async_copy(hyr.at[i], ldy, sem.at[0])
+                d2 = pltpu.make_async_copy(hfr.at[i], ldf, sem.at[1])
+                d1.start()
+                d2.start()
+                t_i = ht[i]
+                dt_i = hdt[i]
+                qold_i = hqold[i]
+                d1.wait()
+                d2.wait()
+                y_i = ldy[:, :dim]
+                f0_i = ldf[:, :dim]
+
+                outs, vjp = jax.vjp(step_fn, t_i, dt_i, qold_i, y_i, f0_i,
+                                    t1, span, list(leaves))
+                (_tn, _dtn, _qn, y_out, f0_out, _telt, dt_eff, _e, _g,
+                 acc_f, _df) = outs
+
+                di_t = jnp.zeros((), f32)
+                di_dteff = jnp.zeros((), f32)
+                di_y = jnp.zeros((batch, dim), f32)
+                di_ynew = jnp.zeros((batch, dim), f32)
+                di_f0 = jnp.zeros((batch, dim), f32)
+                di_k7 = jnp.zeros((batch, dim), f32)
+                if n_save:
+                    acc_b = acc_f > 0.5
+                    remaining = t1 - t_i
+                    is_last = (dt_i - remaining) * tdir >= 0
+                    # The window mask is (n_save, 1, dim) elementwise work —
+                    # computed full-width; only the B*D-sized Hermite work
+                    # below is chunked. The chunk loop is ROLLED (fori with
+                    # dynamic ref slices): unrolled chunks kept every
+                    # chunk's vjp temporaries live at once and blew the
+                    # scoped-VMEM budget by ~10MB at the latent shape.
+                    mask_full = _window_mask(t_i, dt_eff, is_last, t1,
+                                             tdir, acc_b, sa)
+                    consumed = jnp.where(mask_full, 1.0, consumed)
+                    ch = _SAVE_CHUNK
+
+                    def chunk_body(c, acc):
+                        c0 = c * ch
+                        sa_c = sar[pl.ds(c0, ch)]
+                        mask = _window_mask(t_i, dt_eff, is_last, t1,
+                                            tdir, acc_b, sa_c)
+
+                        # Gate the Hermite vjp on the chunk's window
+                        # actually firing (true branch skipping on TPU) —
+                        # each step consumes only ~0-2 save points.
+                        def live(_):
+                            ct_c = ctysr_in[pl.ds(c0, ch)]
+                            ct_rows = jnp.where(mask, ct_c, 0.0)
+                            _, hvjp = jax.vjp(
+                                _hermite_chunk, t_i, dt_eff, y_i, y_out,
+                                f0_i, f0_out, sa_c)
+                            (h_t, h_dt, h_y, h_yn, h_f0, h_k7,
+                             _h_sa) = hvjp(ct_rows)
+                            return (h_t, h_dt, h_y, h_yn, h_f0, h_k7)
+
+                        def dead(_):
+                            return (jnp.zeros((), f32), jnp.zeros((), f32),
+                                    jnp.zeros((batch, dim), f32),
+                                    jnp.zeros((batch, dim), f32),
+                                    jnp.zeros((batch, dim), f32),
+                                    jnp.zeros((batch, dim), f32))
+
+                        h = lax.cond(jnp.any(mask), live, dead, 0)
+                        return tuple(a + b for a, b in zip(acc, h))
+
+                    (di_t, di_dteff, di_y, di_ynew, di_f0,
+                     di_k7) = lax.fori_loop(
+                        0, n_save // ch, chunk_body,
+                        (di_t, di_dteff, di_y, di_ynew, di_f0, di_k7))
+
+                seeds = (
+                    ct_t, ct_dt, ct_qold,
+                    ct_y + di_ynew,        # y_out (== y_new when accepted)
+                    ct_f0 + di_k7,         # f0_out (== k7 when accepted)
+                    cttelt[i],
+                    ctteldt[i] + di_dteff,
+                    cttele[i], cttelg[i],
+                    jnp.zeros((), f32), jnp.zeros((), f32),
+                )
+                (d_t, d_dt, d_q, d_y, d_f, d_t1, d_sp, d_ls) = vjp(seeds)
+                return (
+                    d_t + di_t, d_dt, d_q, d_y + di_y, d_f + di_f0,
+                    ct_t1a + d_t1, ct_spana + d_sp, consumed,
+                ) + tuple(a + b for a, b in zip(ct_ls, d_ls))
+
+            out = lax.fori_loop(0, ns, body, carry0)
+            (ct_t, ct_dt, _ct_qold, ct_y, ct_f0, ct_t1a, ct_spana,
+             consumed) = out[:8]
+            ct_ls = out[8:]
+            cty0r[:] = ct_y
+            ctf0r[:] = ct_f0
+            if n_save:
+                for c0, cs in _chunks():
+                    ctys0r[c0:c0 + cs] = jnp.where(
+                        consumed[c0:c0 + cs] > 0, 0.0,
+                        ctysr_in[c0:c0 + cs])
+            for r, v in zip(ctleaf_refs, ct_ls):
+                r[:] = v
+            ctt0r[0, 0] = ct_t - tdir * ct_spana
+            ctt1r[0, 0] = ct_t1a + tdir * ct_spana
+            ctdt0r[0, 0] = ct_dt
+
+        return kernel
+
+    # ------------------------------------------------------------------
+    # jax-level wrappers
+    # ------------------------------------------------------------------
+
+    smem11 = lambda dt_: pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    anym = pl.BlockSpec(memory_space=pl.ANY)
+
+    def _s(x):
+        return jnp.reshape(jnp.asarray(x, f32), (1, 1))
+
+    def _forward(t0, t1, dt0, y0, f0, ys0, saveat, leaves):
+        batch, dim = y0.shape
+        dpad = _pad128(dim)
+        n_leaves = len(leaves)
+        ins = [_s(t0), _s(t1), _s(dt0), y0, f0]
+        in_specs = [smem11(f32)] * 3 + [vmem, vmem]
+        aliases = {}
+        if n_save:
+            sa3 = jnp.broadcast_to(
+                jnp.reshape(jnp.asarray(saveat, f32), (n_save, 1, 1)),
+                (n_save, 1, dim)) + jnp.zeros((), f32)
+            ins += [sa3, ys0]
+            in_specs += [vmem, vmem]
+            aliases[6] = 1  # ys0 -> ys output (in-place row updates)
+        ins += list(leaves)
+        in_specs += [vmem] * n_leaves
+
+        outs_shape = [jax.ShapeDtypeStruct((batch, dim), y0.dtype)]
+        out_specs = [vmem]
+        if n_save:
+            outs_shape.append(jax.ShapeDtypeStruct((n_save, batch, dim),
+                                                   y0.dtype))
+            out_specs.append(vmem)
+        # telemetry + history scalar streams: 1-D SMEM — a (max_steps, 1)
+        # window pads its minor dim to 128 lanes (128KB of SMEM each)
+        outs_shape += [jax.ShapeDtypeStruct((max_steps,), f32)] * 9
+        out_specs += [smem11(f32)] * 9
+        # final scalars
+        outs_shape += [jax.ShapeDtypeStruct((1, 1), f32)] * 3
+        outs_shape += [jax.ShapeDtypeStruct((1, 1), i32)] * 3
+        out_specs += [smem11(f32)] * 6
+        # HBM history
+        outs_shape += [jax.ShapeDtypeStruct((max_steps, batch, dpad), f32)] * 2
+        out_specs += [anym, anym]
+
+        res = pl.pallas_call(
+            make_fwd_kernel(n_leaves),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=outs_shape,
+            scratch_shapes=[
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*ins)
+        k = 0
+        y1 = res[k]; k += 1
+        ys = None
+        if n_save:
+            ys = res[k]; k += 1
+        (telt, teldt, tele, telg, telacc, tellive,
+         ht, hdt, hqold) = res[k:k + 9]; k += 9
+        tf, dtf, qoldf, na, nr, done = res[k:k + 6]; k += 6
+        hy, hf = res[k:k + 2]
+        tel = StepTelemetry(
+            t=telt, dt=teldt, eest=tele, eigen_est=telg,
+            accepted=telacc > 0.5, live=tellive > 0.5,
+        )
+        outs = (y1, ys if n_save else (), tel, tf[0, 0], dtf[0, 0],
+                qoldf[0, 0], na[0, 0], nr[0, 0], done[0, 0] > 0)
+        resid = (ht, hdt, hqold, hy, hf, na[0, 0] + nr[0, 0])
+        return outs, resid
+
+    @jax.custom_vjp
+    def solve(t0, t1, dt0, y0, f0, ys0, saveat, leaves):
+        outs, _ = _forward(t0, t1, dt0, y0, f0, ys0, saveat, leaves)
+        return outs
+
+    def solve_fwd(t0, t1, dt0, y0, f0, ys0, saveat, leaves):
+        outs, resid = _forward(t0, t1, dt0, y0, f0, ys0, saveat, leaves)
+        return outs, (resid, outs[2], t0, t1, y0, f0, ys0, saveat, leaves)
+
+    def _mat(ct, like):
+        if ct is None or (hasattr(ct, "dtype")
+                          and ct.dtype == jax.dtypes.float0):
+            return jnp.zeros(jnp.shape(like), jnp.result_type(like, f32))
+        return ct
+
+    def solve_bwd(res, cts):
+        (resid, tel, t0, t1, y0, f0, ys0, saveat, leaves) = res
+        ht, hdt, hqold, hy, hf, nsteps = resid
+        (ct_y1, ct_ys, ct_tel, ct_tf, ct_dtf, ct_qoldf,
+         _na, _nr, _done) = cts
+        batch, dim = y0.shape
+        dpad = _pad128(dim)
+        n_leaves = len(leaves)
+        zs = jnp.zeros((max_steps,), f32)
+
+        ins = [
+            _s(t0), _s(t1),
+            jnp.reshape(jnp.asarray(nsteps, i32), (1, 1)),
+            _s(_mat(ct_tf, 0.0)), _s(_mat(ct_dtf, 0.0)),
+            _s(_mat(ct_qoldf, 0.0)),
+            ht, hdt, hqold,
+            _mat(ct_tel.t, zs), _mat(ct_tel.dt, zs),
+            _mat(ct_tel.eest, zs), _mat(ct_tel.eigen_est, zs),
+            _mat(ct_y1, y0),
+        ]
+        in_specs = ([smem11(f32)] * 2 + [smem11(i32)] + [smem11(f32)] * 3
+                    + [smem11(f32)] * 7 + [vmem])
+        aliases = {}
+        if n_save:
+            sa3 = jnp.broadcast_to(
+                jnp.reshape(jnp.asarray(saveat, f32), (n_save, 1, 1)),
+                (n_save, 1, dim)) + jnp.zeros((), f32)
+            ins += [sa3, _mat(ct_ys, ys0)]
+            in_specs += [vmem, vmem]
+            aliases[15] = 2  # ct_ys -> ct_ys0 output
+        ins += list(leaves)
+        in_specs += [vmem] * n_leaves
+        ins += [hy, hf]
+        in_specs += [anym, anym]
+
+        outs_shape = [jax.ShapeDtypeStruct((batch, dim), f32),
+                      jax.ShapeDtypeStruct((batch, dim), f32)]
+        out_specs = [vmem, vmem]
+        if n_save:
+            outs_shape.append(jax.ShapeDtypeStruct((n_save, batch, dim), f32))
+            out_specs.append(vmem)
+        leaf_shapes = tuple(tuple(l.shape) for l in leaves)
+        outs_shape += [jax.ShapeDtypeStruct(s, f32) for s in leaf_shapes]
+        out_specs += [vmem] * n_leaves
+        outs_shape += [jax.ShapeDtypeStruct((1, 1), f32)] * 3
+        out_specs += [smem11(f32)] * 3
+
+        res_b = pl.pallas_call(
+            make_bwd_kernel(n_leaves, leaf_shapes, batch, dim),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=outs_shape,
+            scratch_shapes=[
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*ins)
+        k = 0
+        ct_y0 = res_b[k]; k += 1
+        ct_f0 = res_b[k]; k += 1
+        ct_ys0 = ()
+        if n_save:
+            ct_ys0 = res_b[k].astype(ys0.dtype); k += 1
+        ct_leaves = [a.astype(l.dtype)
+                     for a, l in zip(res_b[k:k + n_leaves], leaves)]
+        k += n_leaves
+        ct_t0 = res_b[k][0, 0]; k += 1
+        ct_t1 = res_b[k][0, 0]; k += 1
+        ct_dt0 = res_b[k][0, 0]
+        # saveat gets a zero cotangent: every solve engine treats the save
+        # grid as non-differentiable (the reference jitters it as data).
+        ct_sa = jnp.zeros_like(saveat) if n_save else ()
+        return (ct_t0, ct_t1, ct_dt0, ct_y0.astype(y0.dtype),
+                ct_f0.astype(f0.dtype), ct_ys0, ct_sa, ct_leaves)
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+# ---------------------------------------------------------------------------
+# odeint-compatible front end
+# ---------------------------------------------------------------------------
+
+
+def whole_solve_odeint(
+    func: Callable,
+    apply_fn: Callable,
+    flatten: Callable,
+    y0: jnp.ndarray,
+    t0,
+    t1,
+    args,
+    *,
+    rtol: float,
+    atol: float,
+    max_steps: int,
+    saveat: Optional[jnp.ndarray] = None,
+    controller: Optional[PIController] = None,
+    dt0: Optional[float] = None,
+    matmul_precision: Optional[str] = "highest",
+) -> ODESolution:
+    """Run a whole-solve fused integration with odeint's exact prologue
+    (Hairer initial-dt heuristic, NFE accounting, saveat seeding) and
+    return an identical ``ODESolution``.
+
+    ``func(t, y, args)`` is the model-level dynamics (used for the f0 /
+    initial-dt evaluations so accounting matches odeint bit-for-bit);
+    ``apply_fn`` + ``flatten(args) -> leaves`` give the in-kernel form.
+    The flatten runs OUTSIDE the kernel's custom_vjp, so parameter
+    cotangents transpose through it automatically — no unflatten adapter.
+    """
+    if matmul_precision is not None:
+        with jax.default_matmul_precision(matmul_precision):
+            return whole_solve_odeint(
+                func, apply_fn, flatten, y0, t0, t1, args,
+                rtol=rtol, atol=atol, max_steps=max_steps, saveat=saveat,
+                controller=controller, dt0=dt0, matmul_precision=None,
+            )
+    t0 = jnp.asarray(t0, f32)
+    t1 = jnp.asarray(t1, f32)
+    tdir = jnp.sign(t1 - t0)
+
+    f_init = func(t0, y0, args)
+    nfe_init = 1
+    if dt0 is None:
+        dt_init, _ = initial_step_size(
+            func, t0, y0, f_init, args, TSIT5.order, rtol, atol, t1)
+        nfe_init = 2
+    else:
+        dt_init = jnp.asarray(dt0, f32) * tdir
+
+    n_save = 0
+    n_save_raw = 0
+    ys0 = ()
+    sa = ()
+    if saveat is not None:
+        saveat = jnp.asarray(saveat, f32)
+        n_save_raw = int(saveat.shape[0])
+        # Pad the grid to a multiple of the kernel's save chunk with
+        # sentinel times strictly beyond the span (their windows never
+        # fire); the rolled in-kernel chunk loop needs uniform chunks.
+        pad = (-n_save_raw) % _SAVE_CHUNK
+        sa = jnp.concatenate(
+            [saveat, jnp.full((pad,), t1 + tdir, f32)]) if pad else saveat
+        n_save = n_save_raw + pad
+        at_start = (sa - t0) * tdir <= 0
+        ys0 = jnp.where(
+            at_start.reshape((-1, 1, 1)), y0[None],
+            jnp.zeros((n_save,) + y0.shape, y0.dtype))
+
+    solve = make_whole_solve(
+        apply_fn, rtol, atol, controller=controller, max_steps=max_steps,
+        n_save=n_save,
+    )
+    leaves = flatten(args)
+    (y1, ys, tel, _tf, _dtf, _qoldf, na, nr, done) = solve(
+        t0, t1, dt_init.astype(f32), y0, f_init, ys0, sa, list(leaves))
+    if saveat is not None and n_save != n_save_raw:
+        ys = ys[:n_save_raw]
+    nsteps = na + nr
+    stats = ODEStats(
+        nfe=jnp.asarray(nfe_init, i32) + (TSIT5.num_stages - 1) * nsteps,
+        naccept=na, nreject=nr, success=done,
+    )
+    return ODESolution(
+        y1=y1,
+        ys=ys if saveat is not None else None,
+        ts=saveat,
+        stats=stats,
+        telemetry=tel,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tiled whole-solve (no saveat): batch larger than one VMEM working set.
+#
+# The monolithic kernels above keep the full batch's stage stacks live,
+# which caps them at ~small-dim models. This variant keeps the CARRY state
+# (y, f0 and their cotangents) in VMEM scratch REFS and sweeps the Tsit5
+# stages per batch TILE in a ROLLED fori loop (rolled so Mosaic reuses one
+# tile's stage buffers across iterations; values can't be dynamically
+# sliced, refs can). The per-step norm scalars accumulate across tiles
+# exactly like the step-level NormedSweep path, so step control stays
+# whole-batch-global. Built for the MNIST flagship (784-wide, batch 512).
+#
+# The backward walks history in reverse: the controller/telemetry scalar
+# chain replays from the STORED per-step norm sums (he/hn/hd) via
+# jax.vjp of the same `post` math, and each tile runs one vjp of the
+# stage algebra seeded with (ct_y_new, ct_k7, ct_e, ct_n, ct_d) — the
+# in-kernel equivalent of ops.ode._make_fast_adjoint_solve's backward.
+# ---------------------------------------------------------------------------
+
+
+def make_whole_solve_tiled(
+    apply_fn: Callable,
+    rtol: float,
+    atol: float,
+    *,
+    controller: Optional[PIController] = None,
+    max_steps: int,
+    tile_rows: int = 64,
+    interpret: Optional[bool] = None,
+):
+    """Build ``solve(t0, t1, dt0, y0, f0, leaves)`` (final-state only)
+    with batch-tiled one-kernel forward/backward."""
+    ctrl = controller or PIController.for_order(TSIT5.order)
+    algebra = _stage_algebra(apply_fn, rtol, atol)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def post(t, dt, qold, e, n, d, t1, span, tdir, count):
+        """Scalar chain from the accumulated norm sums — the shared unit
+        whose vjp drives the backward's controller pullback."""
+        remaining = t1 - t
+        is_last = (dt - remaining) * tdir >= 0
+        dt_eff = jnp.where(is_last, remaining, dt)
+        eest, eigen = _normed_scalars(e, n, d, count, f32)
+        accept = eest <= 1.0
+        dt_next, qold_next = ctrl.propose(
+            jnp.reshape(dt_eff, (1, 1)), jnp.reshape(eest, (1, 1)),
+            jnp.reshape(qold, (1, 1)), jnp.reshape(accept, (1, 1)))
+        dt_next = dt_next[0, 0]
+        qold_next = qold_next[0, 0]
+        dt_next = jnp.sign(dt_next) * jnp.minimum(jnp.abs(dt_next), span)
+        t_new = jnp.where(accept, jnp.where(is_last, t1, t + dt_eff), t)
+        tel_t = jnp.where(is_last, t1, t + dt_eff)
+        acc_f = accept.astype(f32)
+        done_f = (accept & is_last).astype(f32)
+        return (t_new, dt_next, qold_next, tel_t, dt_eff, eest, eigen,
+                acc_f, done_f)
+
+    def make_fwd_kernel(n_leaves, batch, dim):
+        ntiles = batch // tile_rows
+        T = tile_rows
+
+        def kernel(*refs):
+            k = 0
+            t0r = refs[k]; k += 1
+            t1r = refs[k]; k += 1
+            dt0r = refs[k]; k += 1
+            y0r = refs[k]; k += 1
+            f0r = refs[k]; k += 1
+            leaf_refs = refs[k:k + n_leaves]; k += n_leaves
+            y1r = refs[k]; k += 1
+            telt = refs[k]; k += 1
+            teldt = refs[k]; k += 1
+            tele = refs[k]; k += 1
+            telg = refs[k]; k += 1
+            telacc = refs[k]; k += 1
+            tellive = refs[k]; k += 1
+            ht = refs[k]; k += 1
+            hdt = refs[k]; k += 1
+            hqold = refs[k]; k += 1
+            he = refs[k]; k += 1
+            hn = refs[k]; k += 1
+            hd = refs[k]; k += 1
+            tfr = refs[k]; k += 1
+            dtfr = refs[k]; k += 1
+            qoldfr = refs[k]; k += 1
+            nar = refs[k]; k += 1
+            nrr = refs[k]; k += 1
+            doner = refs[k]; k += 1
+            hyr = refs[k]; k += 1
+            hfr = refs[k]; k += 1
+            yref = refs[k]; k += 1   # scratch: current y (B, dpad)
+            fref = refs[k]; k += 1   # scratch: current f0
+            ynref = refs[k]; k += 1  # scratch: trial y_new
+            knref = refs[k]; k += 1  # scratch: trial k7
+            sem = refs[k]; k += 1
+
+            t0 = t0r[0, 0]
+            t1 = t1r[0, 0]
+            dt0 = dt0r[0, 0]
+            tdir = jnp.sign(t1 - t0)
+            span = jnp.abs(t1 - t0)
+            leaves = [r[:] for r in leaf_refs]
+            count = jnp.asarray(float(batch * dim), f32)
+
+            yref[:, :dim] = y0r[:]
+            fref[:, :dim] = f0r[:]
+
+            def zero_body(i, _):
+                telt[i] = 0.0
+                teldt[i] = 0.0
+                tele[i] = 0.0
+                telg[i] = 0.0
+                telacc[i] = 0.0
+                tellive[i] = 0.0
+                ht[i] = 0.0
+                hdt[i] = 0.0
+                hqold[i] = 0.0
+                he[i] = 0.0
+                hn[i] = 0.0
+                hd[i] = 0.0
+                return 0
+
+            lax.fori_loop(0, max_steps, zero_body, 0)
+
+            def cond(c):
+                i, t, dt, qold, na, nr, done = c
+                return (done == 0) & (i < max_steps)
+
+            def body(c):
+                i, t, dt, qold, na, nr, done = c
+                ht[i] = t
+                hdt[i] = dt
+                hqold[i] = qold
+                d1 = pltpu.make_async_copy(yref, hyr.at[i], sem.at[0])
+                d2 = pltpu.make_async_copy(fref, hfr.at[i], sem.at[1])
+                d1.start()
+                d2.start()
+
+                remaining = t1 - t
+                is_last = (dt - remaining) * tdir >= 0
+                dt_eff = jnp.where(is_last, remaining, dt)
+
+                def tile_body(ti, acc):
+                    e_a, n_a, d_a = acc
+                    sl = pl.ds(ti * T, T)
+                    y_t = yref[sl, :dim]
+                    f_t = fref[sl, :dim]
+                    yn_t, k7_t, e_t, n_t, d_t = algebra(
+                        t, dt_eff, y_t, f_t, leaves)
+                    ynref[sl, :dim] = yn_t
+                    knref[sl, :dim] = k7_t
+                    return (e_a + e_t, n_a + n_t, d_a + d_t)
+
+                e, n, d = lax.fori_loop(
+                    0, ntiles, tile_body,
+                    (jnp.zeros((), f32),) * 3)
+
+                (t_new, dt_next, qold_next, tel_t, dt_eff2, eest, eigen,
+                 acc_f, done_f) = post(t, dt, qold, e, n, d, t1, span,
+                                       tdir, count)
+                he[i] = e
+                hn[i] = n
+                hd[i] = d
+                telt[i] = tel_t
+                teldt[i] = dt_eff2
+                tele[i] = eest
+                telg[i] = eigen
+                telacc[i] = acc_f
+                tellive[i] = 1.0
+                d1.wait()
+                d2.wait()
+
+                @pl.when(acc_f > 0.5)
+                def _():
+                    yref[:] = ynref[:]
+                    fref[:] = knref[:]
+
+                acc_i = acc_f.astype(i32)
+                return (i + 1, t_new.astype(f32), dt_next.astype(f32),
+                        qold_next.astype(f32), na + acc_i, nr + 1 - acc_i,
+                        (done_f > 0).astype(i32))
+
+            done0 = (span == 0.0).astype(i32)
+            init = (jnp.asarray(0, i32), t0, dt0,
+                    jnp.asarray(ctrl.qoldinit, f32), jnp.asarray(0, i32),
+                    jnp.asarray(0, i32), done0)
+            (_, t, dt, qold, na, nr, done) = lax.while_loop(cond, body, init)
+            y1r[:] = yref[:, :dim]
+            tfr[0, 0] = t
+            dtfr[0, 0] = dt
+            qoldfr[0, 0] = qold
+            nar[0, 0] = na
+            nrr[0, 0] = nr
+            doner[0, 0] = done
+
+        return kernel
+
+    def make_bwd_kernel(n_leaves, leaf_shapes, batch, dim):
+        ntiles = batch // tile_rows
+        T = tile_rows
+
+        def kernel(*refs):
+            k = 0
+            t0r = refs[k]; k += 1
+            t1r = refs[k]; k += 1
+            nsr = refs[k]; k += 1
+            cttfr = refs[k]; k += 1
+            ctdtfr = refs[k]; k += 1
+            ctqoldfr = refs[k]; k += 1
+            ht = refs[k]; k += 1
+            hdt = refs[k]; k += 1
+            hqold = refs[k]; k += 1
+            he = refs[k]; k += 1
+            hn = refs[k]; k += 1
+            hd = refs[k]; k += 1
+            cttelt = refs[k]; k += 1
+            ctteldt = refs[k]; k += 1
+            cttele = refs[k]; k += 1
+            cttelg = refs[k]; k += 1
+            cty1r = refs[k]; k += 1
+            leaf_refs = refs[k:k + n_leaves]; k += n_leaves
+            hyr = refs[k]; k += 1
+            hfr = refs[k]; k += 1
+            cty0r = refs[k]; k += 1
+            ctf0r = refs[k]; k += 1
+            ctleaf_refs = refs[k:k + n_leaves]; k += n_leaves
+            ctt0r = refs[k]; k += 1
+            ctt1r = refs[k]; k += 1
+            ctdt0r = refs[k]; k += 1
+            ldy = refs[k]; k += 1    # scratch: y_i (B, dpad)
+            ldf = refs[k]; k += 1    # scratch: f0_i
+            ctyref = refs[k]; k += 1  # scratch: running ct_y
+            ctfref = refs[k]; k += 1  # scratch: running ct_f0
+            sem = refs[k]; k += 1
+
+            t0 = t0r[0, 0]
+            t1 = t1r[0, 0]
+            ns = nsr[0, 0]
+            tdir = jnp.sign(t1 - t0)
+            span = jnp.abs(t1 - t0)
+            leaves = [r[:] for r in leaf_refs]
+            count = jnp.asarray(float(batch * dim), f32)
+
+            ctyref[:, :dim] = cty1r[:]
+            ctfref[:, :dim] = jnp.zeros((batch, dim), f32)
+
+            post_fn = lambda t_, dt_, q_, e_, n_, d_, t1_, sp_: post(
+                t_, dt_, q_, e_, n_, d_, t1_, sp_, tdir, count)
+
+            ct_leaves0 = tuple(jnp.zeros(s, f32) for s in leaf_shapes)
+            carry0 = (
+                cttfr[0, 0], ctdtfr[0, 0], ctqoldfr[0, 0],
+                jnp.zeros((), f32), jnp.zeros((), f32),
+            ) + ct_leaves0
+
+            def body(j, c):
+                ct_t, ct_dt, ct_qold, ct_t1a, ct_spana = c[:5]
+                ct_ls = c[5:]
+                i = ns - 1 - j
+                d1 = pltpu.make_async_copy(hyr.at[i], ldy, sem.at[0])
+                d2 = pltpu.make_async_copy(hfr.at[i], ldf, sem.at[1])
+                d1.start()
+                d2.start()
+                t_i = ht[i]
+                dt_i = hdt[i]
+                qold_i = hqold[i]
+                e_i = he[i]
+                n_i = hn[i]
+                d_i = hd[i]
+                d1.wait()
+                d2.wait()
+
+                # scalar controller/telemetry chain from stored norm sums
+                outs_p, vjp_p = jax.vjp(post_fn, t_i, dt_i, qold_i,
+                                        e_i, n_i, d_i, t1, span)
+                acc_f = outs_p[7]
+                acc_b = acc_f > 0.5
+                (dp_t, dp_dt, dp_qold, ct_e, ct_n, ct_d, dp_t1,
+                 dp_span) = vjp_p((ct_t, ct_dt, ct_qold, cttelt[i],
+                                   ctteldt[i], cttele[i], cttelg[i],
+                                   jnp.zeros((), f32), jnp.zeros((), f32)))
+
+                remaining = t1 - t_i
+                is_last = (dt_i - remaining) * tdir >= 0
+                dt_eff = jnp.where(is_last, remaining, dt_i)
+
+                def tile_body(ti, acc):
+                    (a_t, a_dteff, *a_ls) = acc
+                    sl = pl.ds(ti * T, T)
+                    y_t = ldy[sl, :dim]
+                    f_t = ldf[sl, :dim]
+                    ct_y_t = ctyref[sl, :dim]
+                    ct_f_t = ctfref[sl, :dim]
+                    # route carry cts by accept: y_out = where(acc, y_new, y)
+                    z = jnp.zeros((T, dim), f32)
+                    ct_yn = jnp.where(acc_b, ct_y_t, z)
+                    ct_k7 = jnp.where(acc_b, ct_f_t, z)
+                    _, vjp_t = jax.vjp(
+                        lambda tt, dd, yy, ff, ls: algebra(tt, dd, yy, ff,
+                                                           ls),
+                        t_i, dt_eff, y_t, f_t, list(leaves))
+                    (h_t, h_dteff, d_y, d_k1, d_ls) = vjp_t(
+                        (ct_yn, ct_k7, ct_e, ct_n, ct_d))
+                    ctyref[sl, :dim] = jnp.where(acc_b, z, ct_y_t) + d_y
+                    ctfref[sl, :dim] = jnp.where(acc_b, z, ct_f_t) + d_k1
+                    return (a_t + h_t, a_dteff + h_dteff,
+                            *[a + b for a, b in zip(a_ls, d_ls)])
+
+                tile0 = (jnp.zeros((), f32), jnp.zeros((), f32)) + tuple(
+                    jnp.zeros(s, f32) for s in leaf_shapes)
+                tres = lax.fori_loop(0, ntiles, tile_body, tile0)
+                k_ct_t, k_ct_dteff = tres[0], tres[1]
+                d_leaves = tres[2:]
+
+                # dt_eff = where(is_last, t1 - t, dt): the kernel-side
+                # dt_eff cotangent routes into (t, dt, t1); the scalar
+                # chain's own dt_eff handling is inside post's vjp already.
+                d_t_pre = jnp.where(is_last, -k_ct_dteff, 0.0)
+                d_dt_pre = jnp.where(is_last, 0.0, k_ct_dteff)
+                d_t1_pre = jnp.where(is_last, k_ct_dteff, 0.0)
+
+                return (
+                    (dp_t + k_ct_t + d_t_pre).astype(f32),
+                    (dp_dt + d_dt_pre).astype(f32),
+                    dp_qold,
+                    ct_t1a + dp_t1 + d_t1_pre,
+                    ct_spana + dp_span,
+                ) + tuple(a + b for a, b in zip(ct_ls, d_leaves))
+
+            out = lax.fori_loop(0, ns, body, carry0)
+            ct_t, ct_dt, _ct_qold, ct_t1a, ct_spana = out[:5]
+            ct_ls = out[5:]
+            cty0r[:] = ctyref[:, :dim]
+            ctf0r[:] = ctfref[:, :dim]
+            for r, v in zip(ctleaf_refs, ct_ls):
+                r[:] = v
+            ctt0r[0, 0] = ct_t - tdir * ct_spana
+            ctt1r[0, 0] = ct_t1a + tdir * ct_spana
+            ctdt0r[0, 0] = ct_dt
+
+        return kernel
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    anym = pl.BlockSpec(memory_space=pl.ANY)
+
+    def _s(x):
+        return jnp.reshape(jnp.asarray(x, f32), (1, 1))
+
+    def _forward(t0, t1, dt0, y0, f0, leaves):
+        batch, dim = y0.shape
+        if batch % tile_rows:
+            raise ValueError(
+                f"tiled whole-solve needs batch % {tile_rows} == 0")
+        dpad = _pad128(dim)
+        n_leaves = len(leaves)
+        ins = [_s(t0), _s(t1), _s(dt0), y0, f0] + list(leaves)
+        in_specs = [smem] * 3 + [vmem, vmem] + [vmem] * n_leaves
+        outs_shape = ([jax.ShapeDtypeStruct((batch, dim), y0.dtype)]
+                      + [jax.ShapeDtypeStruct((max_steps,), f32)] * 12
+                      + [jax.ShapeDtypeStruct((1, 1), f32)] * 3
+                      + [jax.ShapeDtypeStruct((1, 1), i32)] * 3
+                      + [jax.ShapeDtypeStruct((max_steps, batch, dpad),
+                                              f32)] * 2)
+        out_specs = ([vmem] + [smem] * 12 + [smem] * 6 + [anym, anym])
+        res = pl.pallas_call(
+            make_fwd_kernel(n_leaves, batch, dim),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=outs_shape,
+            scratch_shapes=[
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(*ins)
+        k = 0
+        y1 = res[k]; k += 1
+        (telt, teldt, tele, telg, telacc, tellive,
+         ht, hdt, hqold, he, hn, hd) = res[k:k + 12]; k += 12
+        tf, dtf, qoldf, na, nr, done = res[k:k + 6]; k += 6
+        hy, hf = res[k:k + 2]
+        tel = StepTelemetry(
+            t=telt, dt=teldt, eest=tele, eigen_est=telg,
+            accepted=telacc > 0.5, live=tellive > 0.5,
+        )
+        outs = (y1, tel, tf[0, 0], dtf[0, 0], qoldf[0, 0],
+                na[0, 0], nr[0, 0], done[0, 0] > 0)
+        resid = (ht, hdt, hqold, he, hn, hd, hy, hf, na[0, 0] + nr[0, 0])
+        return outs, resid
+
+    @jax.custom_vjp
+    def solve(t0, t1, dt0, y0, f0, leaves):
+        outs, _ = _forward(t0, t1, dt0, y0, f0, leaves)
+        return outs
+
+    def solve_fwd(t0, t1, dt0, y0, f0, leaves):
+        outs, resid = _forward(t0, t1, dt0, y0, f0, leaves)
+        return outs, (resid, t0, t1, y0, f0, leaves)
+
+    def _mat(ct, like):
+        if ct is None or (hasattr(ct, "dtype")
+                          and ct.dtype == jax.dtypes.float0):
+            return jnp.zeros(jnp.shape(like), jnp.result_type(like, f32))
+        return ct
+
+    def solve_bwd(res, cts):
+        (resid, t0, t1, y0, f0, leaves) = res
+        ht, hdt, hqold, he, hn, hd, hy, hf, nsteps = resid
+        (ct_y1, ct_tel, ct_tf, ct_dtf, ct_qoldf, _na, _nr, _done) = cts
+        batch, dim = y0.shape
+        dpad = _pad128(dim)
+        n_leaves = len(leaves)
+        zs = jnp.zeros((max_steps,), f32)
+        ins = [
+            _s(t0), _s(t1),
+            jnp.reshape(jnp.asarray(nsteps, i32), (1, 1)),
+            _s(_mat(ct_tf, 0.0)), _s(_mat(ct_dtf, 0.0)),
+            _s(_mat(ct_qoldf, 0.0)),
+            ht, hdt, hqold, he, hn, hd,
+            _mat(ct_tel.t, zs), _mat(ct_tel.dt, zs),
+            _mat(ct_tel.eest, zs), _mat(ct_tel.eigen_est, zs),
+            _mat(ct_y1, y0),
+        ] + list(leaves) + [hy, hf]
+        in_specs = ([smem] * 6 + [smem] * 10 + [vmem]
+                    + [vmem] * n_leaves + [anym, anym])
+        leaf_shapes = tuple(tuple(l.shape) for l in leaves)
+        outs_shape = ([jax.ShapeDtypeStruct((batch, dim), f32)] * 2
+                      + [jax.ShapeDtypeStruct(s, f32) for s in leaf_shapes]
+                      + [jax.ShapeDtypeStruct((1, 1), f32)] * 3)
+        out_specs = [vmem] * 2 + [vmem] * n_leaves + [smem] * 3
+        res_b = pl.pallas_call(
+            make_bwd_kernel(n_leaves, leaf_shapes, batch, dim),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=outs_shape,
+            scratch_shapes=[
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.VMEM((batch, dpad), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(*ins)
+        k = 0
+        ct_y0 = res_b[k]; k += 1
+        ct_f0 = res_b[k]; k += 1
+        ct_leaves = [a.astype(l.dtype)
+                     for a, l in zip(res_b[k:k + n_leaves], leaves)]
+        k += n_leaves
+        ct_t0 = res_b[k][0, 0]; k += 1
+        ct_t1 = res_b[k][0, 0]; k += 1
+        ct_dt0 = res_b[k][0, 0]
+        return (ct_t0, ct_t1, ct_dt0, ct_y0.astype(y0.dtype),
+                ct_f0.astype(f0.dtype), ct_leaves)
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+def whole_solve_odeint_tiled(
+    func: Callable,
+    apply_fn: Callable,
+    flatten: Callable,
+    y0: jnp.ndarray,
+    t0,
+    t1,
+    args,
+    *,
+    rtol: float,
+    atol: float,
+    max_steps: int,
+    tile_rows: int = 64,
+    controller: Optional[PIController] = None,
+    dt0: Optional[float] = None,
+    matmul_precision: Optional[str] = "highest",
+) -> ODESolution:
+    """Tiled whole-solve with odeint's exact prologue (final-state only)."""
+    if matmul_precision is not None:
+        with jax.default_matmul_precision(matmul_precision):
+            return whole_solve_odeint_tiled(
+                func, apply_fn, flatten, y0, t0, t1, args,
+                rtol=rtol, atol=atol, max_steps=max_steps,
+                tile_rows=tile_rows, controller=controller, dt0=dt0,
+                matmul_precision=None,
+            )
+    t0 = jnp.asarray(t0, f32)
+    t1 = jnp.asarray(t1, f32)
+    tdir = jnp.sign(t1 - t0)
+    f_init = func(t0, y0, args)
+    nfe_init = 1
+    if dt0 is None:
+        dt_init, _ = initial_step_size(
+            func, t0, y0, f_init, args, TSIT5.order, rtol, atol, t1)
+        nfe_init = 2
+    else:
+        dt_init = jnp.asarray(dt0, f32) * tdir
+    solve = make_whole_solve_tiled(
+        apply_fn, rtol, atol, controller=controller, max_steps=max_steps,
+        tile_rows=tile_rows,
+    )
+    leaves = flatten(args)
+    (y1, tel, _tf, _dtf, _qoldf, na, nr, done) = solve(
+        t0, t1, dt_init.astype(f32), y0, f_init, list(leaves))
+    nsteps = na + nr
+    stats = ODEStats(
+        nfe=jnp.asarray(nfe_init, i32) + (TSIT5.num_stages - 1) * nsteps,
+        naccept=na, nreject=nr, success=done,
+    )
+    return ODESolution(y1=y1, ys=None, ts=None, stats=stats, telemetry=tel)

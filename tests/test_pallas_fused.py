@@ -280,7 +280,11 @@ class TestFastAdjoint:
     def _setup(self):
         m = MLPDynamics(dim=16, hidden=12)
         x = jax.random.normal(KEY, (8, 16)) * 0.5
-        node_f = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48, fused=True)
+        # fused="step" pins the STEP-level fast adjoint (fused=True would
+        # auto-route small shapes to the whole-solve kernel, which has its
+        # own suite in test_whole_solve.py)
+        node_f = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48,
+                           fused="step")
         node_g = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48, fused=False)
         p = node_f.init(jax.random.PRNGKey(1), x)
         return node_f, node_g, x, p
@@ -338,8 +342,8 @@ class TestFastAdjoint:
         m = MLPDynamics(dim=8, hidden=6)
         x = jax.random.normal(KEY, (4, 8)) * 0.5
         sa = jnp.asarray([0.0, 0.3, 0.5, 0.77, 1.0])
-        node = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48, fused=True,
-                         saveat=sa)
+        node = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48,
+                         fused="step", saveat=sa)
         p = node.init(jax.random.PRNGKey(1), x)
         oa = node(p, x, mode="adjoint")
         os_ = node(p, x, mode="scan")
@@ -417,8 +421,8 @@ class TestFastAdjoint:
         # (entries at/before t0 hold the initial state).
         m = MLPDynamics(dim=8, hidden=6)
         sa = jnp.asarray([0.0, 0.4, 1.0])
-        node = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48, fused=True,
-                         saveat=sa)
+        node = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48,
+                         fused="step", saveat=sa)
         x = jax.random.normal(KEY, (4, 8)) * 0.5
         p = node.init(jax.random.PRNGKey(1), x)
 

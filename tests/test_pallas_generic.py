@@ -77,7 +77,7 @@ class TestAlternatingMLPFused:
     def test_neural_ode_fused_flag(self):
         m, y, p0 = self._setup()
         node = NeuralODE(m, time_dep=False, rtol=1e-4, atol=1e-4,
-                         max_steps=48, fused=True)
+                         max_steps=48, fused="step")
         p = node.init(jax.random.PRNGKey(1), y)
         out = node(p, y)
         ref = NeuralODE(m, time_dep=False, rtol=1e-4, atol=1e-4,
@@ -99,7 +99,7 @@ class TestAlternatingMLPFused:
         m, y, p0 = self._setup(batch=4, dim=6, hidden=10, depth=2)
         sa = jnp.asarray([0.0, 0.2, 0.5, 0.8, 1.0])
         node = NeuralODE(m, time_dep=False, rtol=1e-4, atol=1e-4,
-                         max_steps=48, saveat=sa, fused=True)
+                         max_steps=48, saveat=sa, fused="step")
         p = node.init(jax.random.PRNGKey(1), y)
 
         oa = node(p, y, mode="adjoint")
@@ -132,7 +132,7 @@ class TestCSLFFJORDFused:
         kw = dict(input_dim=dim, rtol=1e-4, atol=1e-4, max_steps=48,
                   analytic_vjp=True)
         ff = FFJORD(dyn, **kw)
-        ff_fused = FFJORD(dyn, fused=True, **kw)
+        ff_fused = FFJORD(dyn, fused="step", **kw)
         p = ff.init(jax.random.PRNGKey(1), x)
         return ff, ff_fused, x, p
 

@@ -1,0 +1,187 @@
+"""Whole-solve fused kernel tests (ops.pallas_solve, interpret mode on CPU).
+
+Contract: a whole-solve integration must take the SAME accepted/rejected
+step sequence as the scan oracle (identical NFE), land on the same
+trajectory to f32 rounding, and its one-kernel backward must match
+autodiff through the scan path — including gradients through the
+interpolated saveat trajectory, the EEst*dt regularizer, x0, and tspan.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regneuralde_tpu import reg
+from regneuralde_tpu.models import AlternatingMLP, CSLDynamics, FFJORD, NeuralODE
+from regneuralde_tpu.ops import odeint
+from regneuralde_tpu.ops.pallas_generic import (
+    alternating_mlp_apply,
+    alternating_mlp_leaves,
+)
+from regneuralde_tpu.ops.pallas_solve import vmem_estimate, whole_solve_odeint
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _setup(batch=8, dim=6, hidden=10, depth=2):
+    m = AlternatingMLP(dim=dim, hidden=hidden, depth=depth)
+    y = jax.random.normal(KEY, (batch, dim)) * 0.5
+    p = m.init(KEY, y)
+    f = lambda t, yy, pp: m.apply(pp, yy)
+    apply_fn = alternating_mlp_apply(depth)
+    flatten = lambda pp: alternating_mlp_leaves(pp, depth)
+    return m, y, p, f, apply_fn, flatten
+
+
+SA = jnp.asarray([0.0, 0.2, 0.5, 0.8, 1.0])
+
+
+class TestWholeSolve:
+    @pytest.mark.parametrize("saveat", [None, SA], ids=["final", "saveat"])
+    def test_forward_matches_scan(self, saveat):
+        _, y, p, f, apply_fn, flatten = _setup()
+        kw = dict(rtol=1e-4, atol=1e-4, max_steps=48)
+        ws = whole_solve_odeint(f, apply_fn, flatten, y, 0.0, 1.0, p,
+                                saveat=saveat, **kw)
+        ref = odeint(f, y, 0.0, 1.0, p, saveat=saveat, mode="scan", **kw)
+        assert int(ws.stats.nfe) == int(ref.stats.nfe)
+        assert bool(ws.stats.success)
+        np.testing.assert_allclose(np.asarray(ws.y1), np.asarray(ref.y1),
+                                   rtol=1e-5, atol=1e-7)
+        if saveat is not None:
+            np.testing.assert_allclose(np.asarray(ws.ys), np.asarray(ref.ys),
+                                       rtol=1e-5, atol=1e-7)
+        live = np.asarray(ref.telemetry.live)
+        np.testing.assert_array_equal(np.asarray(ws.telemetry.live), live)
+        np.testing.assert_array_equal(
+            np.asarray(ws.telemetry.accepted)[live],
+            np.asarray(ref.telemetry.accepted)[live])
+        np.testing.assert_allclose(
+            np.asarray(ws.telemetry.eest)[live],
+            np.asarray(ref.telemetry.eest)[live], rtol=1e-5, atol=1e-8)
+
+    @pytest.mark.parametrize("saveat", [None, SA], ids=["final", "saveat"])
+    def test_grads_match_scan(self, saveat):
+        _, y, p, f, apply_fn, flatten = _setup()
+        kw = dict(rtol=1e-4, atol=1e-4, max_steps=48)
+
+        def value(s):
+            return s.ys if saveat is not None else s.y1
+
+        def loss_ws(p):
+            s = whole_solve_odeint(f, apply_fn, flatten, y, 0.0, 1.0, p,
+                                   saveat=saveat, **kw)
+            return (jnp.sum(value(s) ** 2)
+                    + 10.0 * reg.error_estimate(s.telemetry, agg="mean"))
+
+        def loss_ref(p):
+            s = odeint(f, y, 0.0, 1.0, p, saveat=saveat, mode="scan", **kw)
+            return (jnp.sum(value(s) ** 2)
+                    + 10.0 * reg.error_estimate(s.telemetry, agg="mean"))
+
+        g1 = jax.grad(loss_ws)(p)
+        g2 = jax.grad(loss_ref)(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+
+    def test_x0_grads_through_save_buffer(self):
+        _, y, p, f, apply_fn, flatten = _setup()
+        kw = dict(rtol=1e-4, atol=1e-4, max_steps=48, saveat=SA)
+
+        gx = jax.grad(lambda x: jnp.sum(whole_solve_odeint(
+            f, apply_fn, flatten, x, 0.0, 1.0, p, **kw).ys ** 2))(y)
+        gr = jax.grad(lambda x: jnp.sum(odeint(
+            f, x, 0.0, 1.0, p, mode="scan", **kw).ys ** 2))(y)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gr),
+                                   rtol=2e-3, atol=1e-5)
+
+    def test_tspan_grads(self):
+        _, y, p, f, apply_fn, flatten = _setup()
+        kw = dict(rtol=1e-4, atol=1e-4, max_steps=48)
+        g1 = jax.grad(lambda t1: jnp.sum(whole_solve_odeint(
+            f, apply_fn, flatten, y, 0.0, t1, p, **kw).y1 ** 2))(
+            jnp.float32(1.0))
+        g2 = jax.grad(lambda t1: jnp.sum(odeint(
+            f, y, 0.0, t1, p, mode="scan", **kw).y1 ** 2))(jnp.float32(1.0))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_starved_max_steps_reports_failure(self):
+        _, y, p, f, apply_fn, flatten = _setup()
+        s = whole_solve_odeint(f, apply_fn, flatten, y, 0.0, 1.0, p,
+                               rtol=1e-8, atol=1e-8, max_steps=3)
+        assert not bool(s.stats.success)
+        assert np.isfinite(np.asarray(s.y1)).all()
+        g = jax.grad(lambda p: jnp.sum(whole_solve_odeint(
+            f, apply_fn, flatten, y, 0.0, 1.0, p, rtol=1e-8, atol=1e-8,
+            max_steps=3).y1 ** 2))(p)
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(g))
+
+
+class TestModelRouting:
+    def test_neural_ode_auto_routes_small_dynamics(self):
+        m, y, p0, f, _, _ = _setup()
+        node = NeuralODE(m, time_dep=False, rtol=1e-4, atol=1e-4,
+                         max_steps=48, saveat=SA, fused=True)
+        p = node.init(jax.random.PRNGKey(1), y)
+        out_ws = node(p, y, mode="adjoint")  # auto -> whole-solve
+        out_ref = NeuralODE(m, time_dep=False, rtol=1e-4, atol=1e-4,
+                            max_steps=48, saveat=SA)(p, y, mode="scan")
+        assert int(out_ws.nfe) == int(out_ref.nfe)
+        np.testing.assert_allclose(np.asarray(out_ws.value),
+                                   np.asarray(out_ref.value),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_fused_step_forces_step_kernels(self):
+        # fused="step" must not take the whole-solve path (it is the
+        # DP-composable engine); outputs still match.
+        m, y, p0, f, _, _ = _setup()
+        node_s = NeuralODE(m, time_dep=False, rtol=1e-4, atol=1e-4,
+                           max_steps=48, fused="step")
+        node_w = NeuralODE(m, time_dep=False, rtol=1e-4, atol=1e-4,
+                           max_steps=48, fused="solve")
+        p = node_s.init(jax.random.PRNGKey(1), y)
+        o1 = node_s(p, y, mode="adjoint")
+        o2 = node_w(p, y, mode="adjoint")
+        assert int(o1.nfe) == int(o2.nfe)
+        np.testing.assert_allclose(np.asarray(o1.value),
+                                   np.asarray(o2.value), rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_vmem_gate_keeps_flagship_on_step_path(self):
+        # the 784-wide flagship exceeds the whole-solve VMEM budget
+        assert vmem_estimate(512, 784) > 12 * 2**20
+        assert vmem_estimate(256, 20, 49) <= 12 * 2**20
+
+    def test_ffjord_whole_solve_matches_unfused(self):
+        dyn = CSLDynamics(dim=3, hidden=8)
+        x = jax.random.normal(KEY, (8, 3)) * 0.5
+        kw = dict(input_dim=3, rtol=1e-4, atol=1e-4, max_steps=48,
+                  analytic_vjp=True)
+        ff = FFJORD(dyn, **kw)
+        ff_ws = FFJORD(dyn, fused="solve", **kw)
+        p = ff.init(jax.random.PRNGKey(1), x)
+        key = jax.random.PRNGKey(2)
+
+        o_ref = ff(p, x, key, mode="scan")
+        o_ws = ff_ws(p, x, key, mode="adjoint")
+        assert int(o_ref.nfe) == int(o_ws.nfe)
+        np.testing.assert_allclose(np.asarray(o_ws.logpx),
+                                   np.asarray(o_ref.logpx),
+                                   rtol=1e-4, atol=1e-5)
+
+        def loss(model, p, mode):
+            out = model(p, x, key, mode=mode)
+            return (-jnp.mean(out.logpx)
+                    + 0.1 * reg.error_estimate(out.telemetry, agg="mean"))
+
+        g1 = jax.grad(lambda p: loss(ff_ws, p, "adjoint"))(p)
+        g2 = jax.grad(lambda p: loss(ff, p, "scan"))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=5e-4)

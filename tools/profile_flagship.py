@@ -54,3 +54,23 @@ g = jax.jit(jax.grad(loss))
 print("solve grad     %.3f ms" % timeit(g, pn, x, n=10))
 n = jax.jit(lambda p, x: node(p, x, mode="while").nfe)(pn, x)
 print("nfe =", int(n), "trial steps =", (int(n) - 2) // 6)
+
+# --- isolate per-iteration cost: scan of bare fused kernels, no controller ---
+def scan_kernels(t, dt, y, k1, p, n=42):
+    def body(c, _):
+        yy, kk = c
+        with jax.default_matmul_precision("highest"):
+            res = mlp_dynamics_normed_sweep(t, dt, yy, kk, p, RT, RT)
+        return (res.y_new, res.k_last), res.err_ssq
+    (yf, kf), es = jax.lax.scan(body, (y, k1), None, length=n)
+    return yf, es
+
+sk = jax.jit(lambda t, dt, y, k1, p: scan_kernels(t, dt, y, k1, p))
+ms = timeit(sk, jnp.float32(0.0), jnp.float32(0.02), x, k1, p, n=10)
+print("scan42 fwd kernels  %.3f ms  (%.1f us/kernel)" % (ms, ms / 42 * 1e3))
+
+# same with the full generic XLA sweep for comparison
+from regneuralde_tpu.ops.ode import odeint as _oi
+node_nf = NeuralODE(m, rtol=RT, atol=RT, max_steps=96, fused=False)
+wh = jax.jit(lambda p, x: node_nf(p, x, mode="while").value)
+print("solve fwd whl nofuse %.3f ms" % timeit(wh, p, x, n=5))
