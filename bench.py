@@ -57,13 +57,15 @@ MEASURE = 10
 # count is set by the global error norm). See BASELINE.md.
 CPU_BASELINE_SAMPLES_PER_SEC = 106.5
 
-# Latent-ODE stand-in measured the same way (XLA:CPU one core, batch 64,
-# regularized latent-ODE train step on the physionet-schema surrogate:
-# 655.9 samples/s at nfe=206 — the tiny latent model is far less
-# BLAS-bound than the MNIST dynamics, so the CPU does relatively better).
+# Latent-ODE stand-in measured the same way (XLA:CPU one core). Round 3
+# MEASURED the batch dependence instead of asserting invariance: 757.6
+# samples/s at batch 64 vs 852.6 at batch 256 (the TPU benchmark batch) —
+# near-invariant, mildly better at the larger batch. The matched-batch
+# (256) number is used as the baseline; the tiny latent model is far less
+# BLAS-bound than the MNIST dynamics, so the CPU does relatively better.
 LATENT_BATCH = 256
 LATENT_MAX_STEPS = 256
-LATENT_CPU_BASELINE_SAMPLES_PER_SEC = 655.9
+LATENT_CPU_BASELINE_SAMPLES_PER_SEC = 852.6
 LATENT_MEASURE = 6
 
 

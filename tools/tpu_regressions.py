@@ -1,0 +1,90 @@
+"""On-device regression checks that the CPU test mesh cannot cover.
+
+The CI suite runs on a virtual CPU mesh where TPU-only failure modes
+(bf16 default matmuls poisoning custom-vjp backwards) are invisible —
+`tests/test_adjoint.py::test_adjoint_grads_survive_accelerator_precision`
+is skipped there. This script runs those checks on the real chip and
+prints one PASS/FAIL line each; run it whenever the adjoint engines or
+kernel precision handling change:
+
+    python tools/tpu_regressions.py
+"""
+import sys
+from pathlib import Path as _P
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  str(_P.home() / ".cache" / "regneuralde_tpu_xla"))
+import jax.numpy as jnp
+import numpy as np
+
+from regneuralde_tpu.ops import odeint
+
+failures = 0
+
+
+def check(name, fn):
+    global failures
+    try:
+        fn()
+        print(f"PASS {name}")
+    except Exception as e:  # noqa: BLE001 - report-and-continue runner
+        failures += 1
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+
+
+def adjoint_precision():
+    """tests/test_adjoint.py::test_adjoint_grads_survive_accelerator_precision
+    — the bf16-default backward poisoning regression, TPU-only."""
+    A = jax.random.normal(jax.random.PRNGKey(0), (8, 8)) * 0.3
+    y0 = jnp.ones((4, 8))
+
+    def f(t, y, args):
+        (A,) = args
+        return jnp.tanh(y @ A)
+
+    def loss(args, mode):
+        sol = odeint(f, y0, 0.0, 1.0, args, rtol=1e-5, atol=1e-5,
+                     max_steps=64, mode=mode)
+        return jnp.sum(sol.y1 ** 2)
+
+    ga = jax.jit(jax.grad(lambda a: loss(a, "adjoint")))((A,))
+    gs = jax.jit(jax.grad(lambda a: loss(a, "scan")))((A,))
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gs[0]),
+                               rtol=1e-3, atol=1e-5)
+
+
+def whole_solve_grads():
+    """Whole-solve kernel gradients vs the scan oracle, on-device (the
+    CPU suite runs these in interpret mode; this is the compiled check)."""
+    from regneuralde_tpu.models import AlternatingMLP, NeuralODE
+    from regneuralde_tpu import reg
+
+    m = AlternatingMLP(dim=8, hidden=10, depth=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 8)) * 0.4
+    sa = jnp.asarray([0.0, 0.5, 1.0])
+    node = NeuralODE(m, time_dep=False, rtol=1e-4, atol=1e-4,
+                     max_steps=64, saveat=sa, fused="solve")
+
+    p = node.init(jax.random.PRNGKey(1), x)
+
+    def loss(p, mode):
+        out = node(p, x, mode=mode)
+        return (jnp.sum(out.value ** 2)
+                + 10.0 * reg.error_estimate(out.telemetry, agg="mean"))
+
+    ga = jax.jit(jax.grad(lambda p: loss(p, "adjoint")))(p)
+    gs = jax.jit(jax.grad(lambda p: loss(p, "scan")))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-4)
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices())
+    if jax.default_backend() == "cpu":
+        print("WARNING: running on CPU — these checks target the TPU")
+    check("adjoint_grads_survive_accelerator_precision", adjoint_precision)
+    check("whole_solve_grads_match_scan_on_device", whole_solve_grads)
+    sys.exit(1 if failures else 0)
