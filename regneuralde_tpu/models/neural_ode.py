@@ -82,15 +82,21 @@ class NeuralODE:
         #             cotangent chain all in-kernel; ops.pallas_solve) —
         #             fastest for small dynamics, but single-device only
         #             and the whole batch must fit VMEM.
-        #   True    — auto: "solve" where eligible, else "step".
+        #   "tiled" — the whole-solve kernel with the carry in VMEM
+        #             scratch and the stage sweep per batch tile — for
+        #             batches whose stage stacks exceed VMEM (the MNIST
+        #             flagship). Final-state solves only (no saveat).
+        #   True    — auto: "solve" where eligible, else "tiled" where
+        #             eligible, else "step".
         # Supported dynamics: MLPDynamics and AlternatingMLP.
         from regneuralde_tpu.models.basic import (
             AlternatingMLP as _AltMLP,
             MLPDynamics as _MLPD,
         )
 
-        if fused not in (False, True, "step", "solve"):
-            raise ValueError("fused must be False, True, 'step' or 'solve'")
+        if fused not in (False, True, "step", "solve", "tiled"):
+            raise ValueError(
+                "fused must be False, True, 'step', 'solve' or 'tiled'")
         if fused and not (
             solver == "tsit5" and isinstance(dynamics, (_MLPD, _AltMLP))
         ):
@@ -159,15 +165,20 @@ class NeuralODE:
         if self.fused and mode == "adjoint" and self.axis_name is None:
             from regneuralde_tpu.ops.pallas_solve import (
                 vmem_estimate,
+                vmem_estimate_tiled,
                 whole_solve_odeint,
+                whole_solve_odeint_tiled,
             )
 
             n_save = 0 if saveat is None else int(saveat.shape[0])
+            # Whole-solve kernels run with a raised scoped-VMEM limit
+            # (100MB; see ops.pallas_solve) — the flagship shape's 36.7MB
+            # working set fits the monolithic kernel directly.
             eligible = (
                 self.fused == "solve"
                 or (self.fused is True
                     and vmem_estimate(x.shape[0], x.shape[-1], n_save)
-                    <= 12 * 2**20)
+                    <= 64 * 2**20)
             )
             if eligible:
                 apply_fn, flatten = self._whole_solve_parts(params)
@@ -182,6 +193,40 @@ class NeuralODE:
                     value=value, nfe=sol.stats.nfe,
                     telemetry=sol.telemetry, solution=sol,
                 )
+            if self.fused == "tiled" and saveat is not None:
+                raise ValueError(
+                    "fused='tiled' supports final-state solves only "
+                    "(saveat must be None); use fused=True or 'solve'")
+            if saveat is None and (self.fused is True
+                                   or self.fused == "tiled"):
+                # Batch too large for the monolithic kernel: the tiled
+                # whole-solve keeps the carry in VMEM scratch and sweeps
+                # stages per batch tile (final-state solves only).
+                apply_fn, flatten = self._whole_solve_parts(params)
+                leaves = flatten(params)
+                leaves_bytes = sum(
+                    l.size * l.dtype.itemsize for l in leaves)
+                # Prefer 128-row tiles (full MXU row utilization;
+                # measured faster than 64 at the flagship shape), falling
+                # back to 64 when the batch or VMEM demands it.
+                tile = None
+                for cand in (128, 64):
+                    if (x.shape[0] % cand == 0
+                            and vmem_estimate_tiled(
+                                x.shape[0], x.shape[-1], cand,
+                                leaves_bytes) <= 64 * 2**20):
+                        tile = cand
+                        break
+                if self.fused == "tiled" or tile is not None:
+                    sol = whole_solve_odeint_tiled(
+                        self._func, apply_fn, flatten, x, t0, t1, params,
+                        rtol=self.rtol, atol=self.atol,
+                        max_steps=self.max_steps, tile_rows=tile or 64,
+                    )
+                    return NeuralDEOutput(
+                        value=sol.y1, nfe=sol.stats.nfe,
+                        telemetry=sol.telemetry, solution=sol,
+                    )
 
         stage_sweep = None
         stage_sweep_bwd = None

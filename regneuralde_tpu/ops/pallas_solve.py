@@ -71,12 +71,33 @@ def _pad128(d: int) -> int:
     return ((d + 127) // 128) * 128
 
 
+# Whole-solve kernels legitimately need more than Mosaic's 16MB default
+# scoped-VMEM budget at flagship shapes (the traced trial-step vjp keeps
+# ~20 batch-size arrays live: 36.7MB at batch 512 x dim 784). v5e VMEM
+# is 128MB/core; raise the scoped limit rather than shrinking the batch.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+
 def vmem_estimate(batch: int, dim: int, n_save: int = 0) -> int:
     """Rough peak-VMEM bound for the backward kernel: the traced vjp of
     the stage algebra keeps ~16 batch-size arrays live (7 k's, hidden
     activations, their cotangents), plus the aliased save buffer."""
     row = batch * _pad128(dim) * 4
     return 20 * row + n_save * row
+
+
+def vmem_estimate_tiled(batch: int, dim: int, tile_rows: int = 64,
+                        leaves_bytes: int = 0) -> int:
+    """Peak-VMEM bound for the TILED backward kernel: four full-batch
+    carry/scratch refs, one tile's worth of traced-vjp stage temporaries,
+    and three copies of the parameter leaves (inputs + cotangent carry +
+    per-tile vjp outputs). The per-tile constant is calibrated against a
+    Mosaic-reported peak (26.9MB at batch 512 x dim 784, tile 64, MLP
+    leaves): the traced vjp keeps ~70 tile-size arrays live (stage
+    states, activations, hidden widths, and all their cotangents)."""
+    row = batch * _pad128(dim) * 4
+    tile_row = tile_rows * _pad128(dim) * 4
+    return 4 * row + 72 * tile_row + 3 * leaves_bytes
 
 
 def make_whole_solve(
@@ -535,6 +556,7 @@ def make_whole_solve(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             input_output_aliases=aliases,
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(*ins)
         k = 0
@@ -628,6 +650,7 @@ def make_whole_solve(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             input_output_aliases=aliases,
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(*ins)
         k = 0
@@ -1124,6 +1147,7 @@ def make_whole_solve_tiled(
                 pltpu.VMEM((batch, dpad), f32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(*ins)
         k = 0
@@ -1193,6 +1217,7 @@ def make_whole_solve_tiled(
                 pltpu.VMEM((batch, dpad), f32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(*ins)
         k = 0

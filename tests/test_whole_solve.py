@@ -19,7 +19,12 @@ from regneuralde_tpu.ops.pallas_generic import (
     alternating_mlp_apply,
     alternating_mlp_leaves,
 )
-from regneuralde_tpu.ops.pallas_solve import vmem_estimate, whole_solve_odeint
+from regneuralde_tpu.ops.pallas_solve import (
+    vmem_estimate,
+    vmem_estimate_tiled,
+    whole_solve_odeint,
+    whole_solve_odeint_tiled,
+)
 
 KEY = jax.random.PRNGKey(0)
 
@@ -122,6 +127,118 @@ class TestWholeSolve:
                    for x in jax.tree_util.tree_leaves(g))
 
 
+class TestTiledWholeSolve:
+    """The batch-tiled whole-solve (VMEM-scratch carry, per-tile stage
+    sweeps) — the flagship-scale engine. Final-state solves only."""
+
+    def test_forward_matches_scan_multi_tile(self):
+        _, y, p, f, apply_fn, flatten = _setup(batch=64)
+        kw = dict(rtol=1e-4, atol=1e-4, max_steps=48)
+        ws = whole_solve_odeint_tiled(f, apply_fn, flatten, y, 0.0, 1.0, p,
+                                      tile_rows=32, **kw)  # 2 tiles
+        ref = odeint(f, y, 0.0, 1.0, p, mode="scan", **kw)
+        assert int(ws.stats.nfe) == int(ref.stats.nfe)
+        assert bool(ws.stats.success)
+        np.testing.assert_allclose(np.asarray(ws.y1), np.asarray(ref.y1),
+                                   rtol=1e-5, atol=1e-6)
+        live = np.asarray(ref.telemetry.live)
+        np.testing.assert_array_equal(np.asarray(ws.telemetry.live), live)
+        # The embedded error is a catastrophic cancellation of O(1) stage
+        # values, so near tight tolerances EEst carries f32 noise that is
+        # sensitive to matmul tiling (tile_rows=batch reproduces the scan
+        # oracle bitwise; smaller tiles perturb it a few percent while the
+        # step SEQUENCE — the controller's decisions — stays identical).
+        np.testing.assert_allclose(
+            np.asarray(ws.telemetry.eest)[live],
+            np.asarray(ref.telemetry.eest)[live], rtol=0.15, atol=1e-7)
+
+    def test_grads_match_scan(self):
+        _, y, p, f, apply_fn, flatten = _setup(batch=64)
+        kw = dict(rtol=1e-4, atol=1e-4, max_steps=48)
+
+        def loss_ws(p):
+            s = whole_solve_odeint_tiled(f, apply_fn, flatten, y, 0.0, 1.0,
+                                         p, tile_rows=32, **kw)
+            return (jnp.sum(s.y1 ** 2)
+                    + 10.0 * reg.error_estimate(s.telemetry, agg="mean"))
+
+        def loss_ref(p):
+            s = odeint(f, y, 0.0, 1.0, p, mode="scan", **kw)
+            return (jnp.sum(s.y1 ** 2)
+                    + 10.0 * reg.error_estimate(s.telemetry, agg="mean"))
+
+        g1 = jax.grad(loss_ws)(p)
+        g2 = jax.grad(loss_ref)(p)
+        # looser than the monolithic test: the reg term reads EEst, which
+        # carries tiling-sensitive f32 cancellation noise (see forward test)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=1e-5)
+
+    def test_x0_and_tspan_grads(self):
+        _, y, p, f, apply_fn, flatten = _setup(batch=64)
+        kw = dict(rtol=1e-4, atol=1e-4, max_steps=48)
+        gx = jax.grad(lambda x: jnp.sum(whole_solve_odeint_tiled(
+            f, apply_fn, flatten, x, 0.0, 1.0, p, tile_rows=32,
+            **kw).y1 ** 2))(y)
+        gr = jax.grad(lambda x: jnp.sum(odeint(
+            f, x, 0.0, 1.0, p, mode="scan", **kw).y1 ** 2))(y)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gr),
+                                   rtol=2e-3, atol=1e-5)
+        g1 = jax.grad(lambda t1: jnp.sum(whole_solve_odeint_tiled(
+            f, apply_fn, flatten, y, 0.0, t1, p, tile_rows=32,
+            **kw).y1 ** 2))(jnp.float32(1.0))
+        g2 = jax.grad(lambda t1: jnp.sum(odeint(
+            f, y, 0.0, t1, p, mode="scan", **kw).y1 ** 2))(jnp.float32(1.0))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-3, atol=1e-6)
+
+    def test_flagship_shape_routes_to_tiled(self):
+        # A batch over the monolithic VMEM budget but under the tiled one
+        # must take the tiled whole-solve under fused=True auto-selection
+        # and agree with the scan oracle.
+        from regneuralde_tpu.models import MLPDynamics
+
+        from regneuralde_tpu.ops import pallas_solve as ps
+
+        batch, dim = 1024, 784
+        assert vmem_estimate(batch, dim) > 64 * 2**20
+        m = MLPDynamics(dim=dim, hidden=32)
+        node = NeuralODE(m, rtol=1e-3, atol=1e-3, max_steps=24, fused=True)
+        x = jax.random.normal(KEY, (batch, dim)) * 0.1
+        p = node.init(jax.random.PRNGKey(1), x)
+        calls = []
+        orig = ps.whole_solve_odeint_tiled
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        ps.whole_solve_odeint_tiled = spy
+        try:
+            out = node(p, x, mode="adjoint")
+        finally:
+            ps.whole_solve_odeint_tiled = orig
+        assert calls, "fused=True did not route to the tiled whole-solve"
+        ref = NeuralODE(m, rtol=1e-3, atol=1e-3, max_steps=24)(
+            p, x, mode="scan")
+        assert int(out.nfe) == int(ref.nfe)
+        np.testing.assert_allclose(np.asarray(out.value),
+                                   np.asarray(ref.value),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_tiled_forced_with_saveat_raises(self):
+        from regneuralde_tpu.models import MLPDynamics
+
+        node = NeuralODE(MLPDynamics(dim=8, hidden=8), rtol=1e-3,
+                         atol=1e-3, saveat=SA, fused="tiled")
+        x = jax.random.normal(KEY, (64, 8))
+        p = node.init(jax.random.PRNGKey(1), x)
+        with pytest.raises(ValueError, match="final-state"):
+            node(p, x, mode="adjoint")
+
+
 class TestModelRouting:
     def test_neural_ode_auto_routes_small_dynamics(self):
         m, y, p0, f, _, _ = _setup()
@@ -152,10 +269,14 @@ class TestModelRouting:
                                    np.asarray(o2.value), rtol=1e-5,
                                    atol=1e-7)
 
-    def test_vmem_gate_keeps_flagship_on_step_path(self):
-        # the 784-wide flagship exceeds the whole-solve VMEM budget
-        assert vmem_estimate(512, 784) > 12 * 2**20
-        assert vmem_estimate(256, 20, 49) <= 12 * 2**20
+    def test_vmem_gates(self):
+        # With the raised scoped-VMEM limit (100MB) the 784-wide flagship
+        # fits the monolithic whole-solve (36.7MB working set); very
+        # large batches fall through to the tiled engine.
+        assert vmem_estimate(512, 784) <= 64 * 2**20
+        assert vmem_estimate(256, 20, 49) <= 64 * 2**20
+        assert vmem_estimate(1024, 784) > 64 * 2**20
+        assert vmem_estimate_tiled(1024, 784, 128) <= 64 * 2**20
 
     def test_ffjord_whole_solve_matches_unfused(self):
         dyn = CSLDynamics(dim=3, hidden=8)
