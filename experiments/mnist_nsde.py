@@ -54,6 +54,10 @@ def main():
         rtol=1.4e-1,
         atol=1.4e-1,
         max_steps=max_steps,
+        # fused=True (ops.pallas_sde whole-solve) is available but NOT
+        # the default: at this workload's ~5 trial steps the solve is
+        # draw-generation-bound and the fused step measured neutral
+        # (2.00 ms either way on one v5e) — see BASELINE.md.
     )
     clf = ClassifierNSDE(nn.Dense(32), nsde, nn.Dense(10))
     x0, _ = train_loader.first_batch()

@@ -61,6 +61,9 @@ def main():
         atol=3e-1,
         max_steps=max_steps,
         saveat=saveat,
+        # fused=True (whole-solve SRI kernel; handles the cubic drift —
+        # the kernel rebuilds arbitrary param pytrees) is available but
+        # not the default; see BASELINE.md's SDE fusion measurements.
     )
     u0 = jnp.tile(jnp.asarray([[2.0, 0.0]], jnp.float32), (trajectories, 1))
     params = nsde.init(jax.random.PRNGKey(seed), u0)

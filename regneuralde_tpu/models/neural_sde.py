@@ -52,6 +52,7 @@ class NeuralSDE:
         max_steps: int = 256,
         saveat: Optional[jnp.ndarray] = None,
         axis_name: Optional[str] = None,
+        fused: bool = False,
     ):
         self.drift = drift
         self.diffusion = diffusion
@@ -63,6 +64,14 @@ class NeuralSDE:
         self.max_steps = max_steps
         self.saveat = saveat
         self.axis_name = axis_name
+        # Fused whole-solve execution (ops.pallas_sde): the entire
+        # adaptive SRI loop — bridge, stages, controller — as ONE Pallas
+        # kernel per direction. True = auto (route when the state is
+        # 2-D f32 and fits VMEM); "solve" = force. Generic over any
+        # Mosaic-lowerable drift/diffusion (leaves rebuilt in-kernel).
+        if fused not in (False, True, "solve"):
+            raise ValueError("fused must be False, True or 'solve'")
+        self.fused = fused
 
     def init(self, key: jax.Array, x: jnp.ndarray) -> Any:
         k1, k2 = jax.random.split(key)
@@ -96,6 +105,45 @@ class NeuralSDE:
     ) -> NeuralSDEOutput:
         t0, t1 = tspan if tspan is not None else self.tspan
         saveat = saveat if saveat is not None else self.saveat
+
+        if (self.fused and mode == "adjoint" and self.axis_name is None
+                and self.solver != "em"):
+            from regneuralde_tpu.ops.pallas_sde import (
+                vmem_estimate_sde,
+                whole_solve_sdeint,
+            )
+
+            leaves = jax.tree_util.tree_leaves(params)
+            supported = (
+                x.ndim == 2 and x.dtype == jnp.float32
+                and all(l.ndim <= 2 and l.dtype == jnp.float32
+                        for l in leaves)
+            )
+            n_save = 0 if saveat is None else int(saveat.shape[0])
+            leaves_bytes = sum(l.size * l.dtype.itemsize for l in leaves)
+            eligible = supported and (
+                self.fused == "solve"
+                or vmem_estimate_sde(x.shape[0], x.shape[-1], n_save,
+                                     leaves_bytes) <= 12 * 2**20
+            )
+            if self.fused == "solve" and not supported:
+                raise ValueError(
+                    "fused='solve' needs a 2-D float32 state and <=2-D "
+                    "float32 parameter leaves")
+            if eligible:
+                sol = whole_solve_sdeint(
+                    self._drift, self._diffusion, x, t0, t1, params,
+                    key=key, solver=self.solver, rtol=self.rtol,
+                    atol=self.atol, max_steps=self.max_steps,
+                    saveat=saveat,
+                )
+                value = (jnp.swapaxes(sol.ys, 0, 1)
+                         if saveat is not None else sol.y1)
+                return NeuralSDEOutput(
+                    value=value, nfe1=sol.stats.nfe1, nfe2=sol.stats.nfe2,
+                    telemetry=sol.telemetry, solution=sol,
+                )
+
         sol = sdeint(
             self._drift,
             self._diffusion,
