@@ -226,7 +226,6 @@ def make_sde_whole_solve(
             tele = refs[k]; k += 1
             telg = refs[k]; k += 1
             telacc = refs[k]; k += 1
-            tellive = refs[k]; k += 1
             ht = refs[k]; k += 1
             hdt = refs[k]; k += 1
             hqold = refs[k]; k += 1
@@ -257,20 +256,9 @@ def make_sde_whole_solve(
             if n_save:
                 sa = sar[:]
 
-            def zero_body(i, _):
-                telt[i] = 0.0
-                teldt[i] = 0.0
-                tele[i] = 0.0
-                telg[i] = 0.0
-                telacc[i] = 0.0
-                tellive[i] = 0.0
-                ht[i] = 0.0
-                hdt[i] = 0.0
-                hqold[i] = 0.0
-                hth[i] = 0.0
-                return 0
-
-            lax.fori_loop(0, max_steps, zero_body, 0)
+            # No in-kernel stream zeroing (a fori_loop of max_steps scalar
+            # SMEM stores costs ~ms on the scalar core); rows beyond the
+            # executed step count are masked by the XLA-side wrapper.
 
             def cond(c):
                 i, t, dt, qold, th, na, nr, done, y, tw, tz = c
@@ -321,7 +309,6 @@ def make_sde_whole_solve(
                 tele[i] = eest
                 telg[i] = eigen
                 telacc[i] = acc_f
-                tellive[i] = 1.0
                 d1.wait(); d2.wait(); d3.wait()
                 acc_i = acc_f.astype(i32)
                 return (i + 1, t_new.astype(f32), dt_next.astype(f32),
@@ -554,8 +541,8 @@ def make_sde_whole_solve(
             outs_shape.append(jax.ShapeDtypeStruct((n_save, batch, dim),
                                                    y0.dtype))
             out_specs.append(vmem)
-        outs_shape += [jax.ShapeDtypeStruct((max_steps,), f32)] * 10
-        out_specs += [smem] * 10
+        outs_shape += [jax.ShapeDtypeStruct((max_steps,), f32)] * 9
+        out_specs += [smem] * 9
         outs_shape += [jax.ShapeDtypeStruct((1, 1), f32)] * 3
         outs_shape += [jax.ShapeDtypeStruct((1, 1), i32)] * 3
         out_specs += [smem] * 6
@@ -584,13 +571,21 @@ def make_sde_whole_solve(
         ys = None
         if n_save:
             ys = res[k]; k += 1
-        (telt, teldt, tele, telg, telacc, tellive,
-         ht, hdt, hqold, hth) = res[k:k + 10]; k += 10
+        (telt, teldt, tele, telg, telacc,
+         ht, hdt, hqold, hth) = res[k:k + 9]; k += 9
         tf, dtf, qoldf, na, nr, done = res[k:k + 6]; k += 6
         hy, hw, hz = res[k:k + 3]
+        # Mask the uninitialized rows beyond the executed step count (the
+        # kernel skips in-kernel zeroing; masked reductions multiply).
+        live = jnp.arange(max_steps, dtype=i32) < (na[0, 0] + nr[0, 0])
+        zf = jnp.zeros((), f32)
         tel = StepTelemetry(
-            t=telt, dt=teldt, eest=tele, eigen_est=telg,
-            accepted=telacc > 0.5, live=tellive > 0.5,
+            t=jnp.where(live, telt, zf),
+            dt=jnp.where(live, teldt, zf),
+            eest=jnp.where(live, tele, zf),
+            eigen_est=jnp.where(live, telg, zf),
+            accepted=jnp.where(live, telacc, zf) > 0.5,
+            live=live,
         )
         outs = (y1, ys if n_save else (), tel, tf[0, 0], dtf[0, 0],
                 qoldf[0, 0], na[0, 0], nr[0, 0], done[0, 0] > 0)

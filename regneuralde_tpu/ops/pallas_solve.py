@@ -207,7 +207,6 @@ def make_whole_solve(
             tele = refs[k]; k += 1
             telg = refs[k]; k += 1
             telacc = refs[k]; k += 1
-            tellive = refs[k]; k += 1
             ht = refs[k]; k += 1
             hdt = refs[k]; k += 1
             hqold = refs[k]; k += 1
@@ -237,19 +236,11 @@ def make_whole_solve(
                 # ysr is input/output-aliased with ys0r: rows already hold
                 # the initial seeds; nothing to copy.
 
-            def zero_body(i, _):
-                telt[i] = 0.0
-                teldt[i] = 0.0
-                tele[i] = 0.0
-                telg[i] = 0.0
-                telacc[i] = 0.0
-                tellive[i] = 0.0
-                ht[i] = 0.0
-                hdt[i] = 0.0
-                hqold[i] = 0.0
-                return 0
-
-            lax.fori_loop(0, max_steps, zero_body, 0)
+            # Streams are NOT zero-initialized in-kernel: a fori_loop of
+            # max_steps scalar SMEM stores costs ~1.2ms on the scalar core
+            # (measured round 3). Rows beyond the executed step count hold
+            # garbage; the XLA-side wrapper masks them with the returned
+            # na+nr (the backward only ever reads rows < ns).
 
             def cond(c):
                 i, t, dt, qold, na, nr, done, y, f0 = c
@@ -299,7 +290,6 @@ def make_whole_solve(
                 tele[i] = eest
                 telg[i] = eigen
                 telacc[i] = acc_f
-                tellive[i] = 1.0
                 d1.wait()
                 d2.wait()
                 acc_i = acc_f.astype(i32)
@@ -535,8 +525,8 @@ def make_whole_solve(
             out_specs.append(vmem)
         # telemetry + history scalar streams: 1-D SMEM — a (max_steps, 1)
         # window pads its minor dim to 128 lanes (128KB of SMEM each)
-        outs_shape += [jax.ShapeDtypeStruct((max_steps,), f32)] * 9
-        out_specs += [smem11(f32)] * 9
+        outs_shape += [jax.ShapeDtypeStruct((max_steps,), f32)] * 8
+        out_specs += [smem11(f32)] * 8
         # final scalars
         outs_shape += [jax.ShapeDtypeStruct((1, 1), f32)] * 3
         outs_shape += [jax.ShapeDtypeStruct((1, 1), i32)] * 3
@@ -564,13 +554,22 @@ def make_whole_solve(
         ys = None
         if n_save:
             ys = res[k]; k += 1
-        (telt, teldt, tele, telg, telacc, tellive,
-         ht, hdt, hqold) = res[k:k + 9]; k += 9
+        (telt, teldt, tele, telg, telacc,
+         ht, hdt, hqold) = res[k:k + 8]; k += 8
         tf, dtf, qoldf, na, nr, done = res[k:k + 6]; k += 6
         hy, hf = res[k:k + 2]
+        # Rows beyond the executed step count are UNINITIALIZED (the kernel
+        # skips the costly in-kernel zeroing); mask them here so downstream
+        # masked reductions (values * mask) never touch garbage/NaN.
+        live = jnp.arange(max_steps, dtype=i32) < (na[0, 0] + nr[0, 0])
+        zf = jnp.zeros((), f32)
         tel = StepTelemetry(
-            t=telt, dt=teldt, eest=tele, eigen_est=telg,
-            accepted=telacc > 0.5, live=tellive > 0.5,
+            t=jnp.where(live, telt, zf),
+            dt=jnp.where(live, teldt, zf),
+            eest=jnp.where(live, tele, zf),
+            eigen_est=jnp.where(live, telg, zf),
+            accepted=jnp.where(live, telacc, zf) > 0.5,
+            live=live,
         )
         outs = (y1, ys if n_save else (), tel, tf[0, 0], dtf[0, 0],
                 qoldf[0, 0], na[0, 0], nr[0, 0], done[0, 0] > 0)
@@ -845,7 +844,6 @@ def make_whole_solve_tiled(
             tele = refs[k]; k += 1
             telg = refs[k]; k += 1
             telacc = refs[k]; k += 1
-            tellive = refs[k]; k += 1
             ht = refs[k]; k += 1
             hdt = refs[k]; k += 1
             hqold = refs[k]; k += 1
@@ -877,22 +875,8 @@ def make_whole_solve_tiled(
             yref[:, :dim] = y0r[:]
             fref[:, :dim] = f0r[:]
 
-            def zero_body(i, _):
-                telt[i] = 0.0
-                teldt[i] = 0.0
-                tele[i] = 0.0
-                telg[i] = 0.0
-                telacc[i] = 0.0
-                tellive[i] = 0.0
-                ht[i] = 0.0
-                hdt[i] = 0.0
-                hqold[i] = 0.0
-                he[i] = 0.0
-                hn[i] = 0.0
-                hd[i] = 0.0
-                return 0
-
-            lax.fori_loop(0, max_steps, zero_body, 0)
+            # No in-kernel stream zeroing (see the monolithic kernel's
+            # note); the wrapper masks rows >= na+nr.
 
             def cond(c):
                 i, t, dt, qold, na, nr, done = c
@@ -938,7 +922,6 @@ def make_whole_solve_tiled(
                 tele[i] = eest
                 telg[i] = eigen
                 telacc[i] = acc_f
-                tellive[i] = 1.0
                 d1.wait()
                 d2.wait()
 
@@ -1129,12 +1112,12 @@ def make_whole_solve_tiled(
         ins = [_s(t0), _s(t1), _s(dt0), y0, f0] + list(leaves)
         in_specs = [smem] * 3 + [vmem, vmem] + [vmem] * n_leaves
         outs_shape = ([jax.ShapeDtypeStruct((batch, dim), y0.dtype)]
-                      + [jax.ShapeDtypeStruct((max_steps,), f32)] * 12
+                      + [jax.ShapeDtypeStruct((max_steps,), f32)] * 11
                       + [jax.ShapeDtypeStruct((1, 1), f32)] * 3
                       + [jax.ShapeDtypeStruct((1, 1), i32)] * 3
                       + [jax.ShapeDtypeStruct((max_steps, batch, dpad),
                                               f32)] * 2)
-        out_specs = ([vmem] + [smem] * 12 + [smem] * 6 + [anym, anym])
+        out_specs = ([vmem] + [smem] * 11 + [smem] * 6 + [anym, anym])
         res = pl.pallas_call(
             make_fwd_kernel(n_leaves, batch, dim),
             in_specs=in_specs,
@@ -1152,13 +1135,19 @@ def make_whole_solve_tiled(
         )(*ins)
         k = 0
         y1 = res[k]; k += 1
-        (telt, teldt, tele, telg, telacc, tellive,
-         ht, hdt, hqold, he, hn, hd) = res[k:k + 12]; k += 12
+        (telt, teldt, tele, telg, telacc,
+         ht, hdt, hqold, he, hn, hd) = res[k:k + 11]; k += 11
         tf, dtf, qoldf, na, nr, done = res[k:k + 6]; k += 6
         hy, hf = res[k:k + 2]
+        live = jnp.arange(max_steps, dtype=i32) < (na[0, 0] + nr[0, 0])
+        zf = jnp.zeros((), f32)
         tel = StepTelemetry(
-            t=telt, dt=teldt, eest=tele, eigen_est=telg,
-            accepted=telacc > 0.5, live=tellive > 0.5,
+            t=jnp.where(live, telt, zf),
+            dt=jnp.where(live, teldt, zf),
+            eest=jnp.where(live, tele, zf),
+            eigen_est=jnp.where(live, telg, zf),
+            accepted=jnp.where(live, telacc, zf) > 0.5,
+            live=live,
         )
         outs = (y1, tel, tf[0, 0], dtf[0, 0], qoldf[0, 0],
                 na[0, 0], nr[0, 0], done[0, 0] > 0)
