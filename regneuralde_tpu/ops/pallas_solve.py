@@ -12,9 +12,10 @@ adaptive loop inside a single Pallas kernel:
   carry (t, dt, qold, y, f0) VMEM/register-resident; per-step history
   (the step-start state and FSAL derivative) is DMA'd to lane-padded
   HBM buffers; controller scalars and telemetry go to SMEM streams;
-  ``saveat`` rows are Hermite-interpolated into a VMEM buffer updated in
-  static chunks (full-array temporaries would blow the ~16MB VMEM budget)
-  that is input/output-aliased so only one copy exists.
+  ``saveat`` rows are Hermite-interpolated into an input/output-aliased
+  VMEM buffer driven by a monotone CURSOR over the sorted grid: each step
+  pays one scalar compare, and the row interpolation fires exactly
+  ``n_save`` times per solve.
 * backward: a second kernel walks the history in reverse, DMA-ing rows
   back in and seeding ``jax.vjp`` of the SAME in-kernel ``trial_step``
   function with the running cotangents — the reverse chain (stage
@@ -61,11 +62,6 @@ from regneuralde_tpu.ops.tableaus import TSIT5
 
 f32 = jnp.float32
 i32 = jnp.int32
-
-_SAVE_CHUNK = 4  # save rows interpolated per chunk (VMEM bound: at the
-# latent shape, chunk=8 left the backward kernel 396KB over the 16MB
-# scoped limit)
-
 
 def _pad128(d: int) -> int:
     return ((d + 127) // 128) * 128
@@ -116,7 +112,9 @@ def make_whole_solve(
     ``apply_fn(t, y, leaves)`` is the dynamics over a flat list of 2-D
     leaves (the ``ops.pallas_generic`` convention); ``n_save`` is the
     static length of ``saveat`` (0 = final-state solve; then ``ys0`` and
-    ``saveat`` must be ``()``).
+    ``saveat`` must be ``()``). ``saveat`` must be sorted along the
+    integration direction (ascending for t1 > t0) — the in-kernel save
+    cursor walks it monotonically, same contract as ops.ode.odeint.
 
     Returns ``(y1, ys, tel, t_f, dt_f, qold_f, naccept, nreject, done)``
     with ``tel`` a ``StepTelemetry`` and ``ys`` shaped
@@ -154,34 +152,19 @@ def make_whole_solve(
         return (t_new, dt_next, qold_next, y_out, f0_out,
                 tel_t, dt_eff, eest, eigen, acc_f, done_f)
 
-    def _hermite_chunk(t, dt_eff, y, y_new, f0, k7, sa_c):
-        """Cubic Hermite rows for one static saveat chunk; ``sa_c`` has
-        shape (cs, 1, dim) — the save times replicated across lanes
-        (degenerate (cs, 1, 1) layouts hang the Mosaic compiler).
+    def _hermite_row(th, dt_eff, y, y_new, f0, k7):
+        """Cubic Hermite at scalar fraction ``th`` on one (batch, dim) row.
         Matches ops.ode._hermite_eval's formula."""
-        th = (sa_c - t) / jnp.where(dt_eff == 0.0, 1.0, dt_eff)
         dy = y_new - y
         return (
-            (1 - th) * y[None]
-            + th * y_new[None]
+            (1 - th) * y
+            + th * y_new
             + th * (th - 1) * (
-                (1 - 2 * th) * dy[None]
-                + (th - 1) * dt_eff * f0[None]
-                + th * dt_eff * k7[None]
+                (1 - 2 * th) * dy
+                + (th - 1) * dt_eff * f0
+                + th * dt_eff * k7
             )
         )
-
-    def _window_mask(t, dt_eff, is_last, t1, tdir, acc_b, sa_c):
-        t_end = jnp.where(is_last, t1, t + dt_eff)
-        return acc_b & ((sa_c - t) * tdir > 0) & ((sa_c - t_end) * tdir <= 0)
-
-    def _chunks():
-        out = []
-        c0 = 0
-        while c0 < n_save:
-            out.append((c0, min(_SAVE_CHUNK, n_save - c0)))
-            c0 += _SAVE_CHUNK
-        return out
 
     # ------------------------------------------------------------------
     # forward kernel
@@ -196,7 +179,8 @@ def make_whole_solve(
             y0r = refs[k]; k += 1
             f0r = refs[k]; k += 1
             if n_save:
-                sar = refs[k]; k += 1
+                sar = refs[k]; k += 1     # SMEM (n_save,) sorted save times
+                cur0r = refs[k]; k += 1   # SMEM (1,1) i32: rows at/before t0
                 ys0r = refs[k]; k += 1
             leaf_refs = refs[k:k + n_leaves]; k += n_leaves
             y1r = refs[k]; k += 1
@@ -216,6 +200,7 @@ def make_whole_solve(
             nar = refs[k]; k += 1
             nrr = refs[k]; k += 1
             doner = refs[k]; k += 1
+            curfr = refs[k]; k += 1
             hyr = refs[k]; k += 1
             hfr = refs[k]; k += 1
             cpy = refs[k]; k += 1
@@ -231,10 +216,14 @@ def make_whole_solve(
             y0 = y0r[:]
             dim = y0.shape[-1]
             count = jnp.asarray(float(y0.shape[0] * y0.shape[1]), f32)
-            if n_save:
-                sa = sar[:]  # (n_save, 1, dim), lane-replicated
-                # ysr is input/output-aliased with ys0r: rows already hold
-                # the initial seeds; nothing to copy.
+            # ysr is input/output-aliased with ys0r: rows already hold
+            # the initial seeds; nothing to copy. Saveat is consumed via a
+            # monotone CURSOR (save times are sorted and accepted windows
+            # tile (t0, t]): per step, ONE scalar compare decides whether
+            # any row fires, and the Hermite work runs exactly n_save
+            # times per solve — the previous chunked-mask design burned
+            # ~n_save/4 vector masks + anys per step.
+            cur0 = cur0r[0, 0] if n_save else jnp.asarray(0, i32)
 
             # Streams are NOT zero-initialized in-kernel: a fori_loop of
             # max_steps scalar SMEM stores costs ~1.2ms on the scalar core
@@ -243,11 +232,13 @@ def make_whole_solve(
             # na+nr (the backward only ever reads rows < ns).
 
             def cond(c):
-                i, t, dt, qold, na, nr, done, y, f0 = c
-                return (done == 0) & (i < max_steps)
+                return (c[6] == 0) & (c[0] < max_steps)
 
             def body(c):
-                i, t, dt, qold, na, nr, done, y, f0 = c
+                if n_save:
+                    i, t, dt, qold, na, nr, done, cur, y, f0 = c
+                else:
+                    i, t, dt, qold, na, nr, done, y, f0 = c
                 ht[i] = t
                 hdt[i] = dt
                 hqold[i] = qold
@@ -261,30 +252,26 @@ def make_whole_solve(
                  eest, eigen, acc_f, done_f) = trial_step(
                     t, dt, qold, y, f0, t1, span, tdir, count, leaves)
                 if n_save:
-                    acc_b = acc_f > 0.5
-                    remaining = t1 - t
-                    is_last = (dt - remaining) * tdir >= 0
+                    # y_out/f0_out equal (y_new, k7) when accepted, so they
+                    # are valid interpolation primals inside the accepted
+                    # branch. tel_t is the accepted step's endpoint, so the
+                    # cursor consumes every save time in (t, tel_t].
+                    def save_cond(cu):
+                        sa_c = sar[jnp.minimum(cu, n_save - 1)]
+                        return (cu < n_save) & (
+                            (sa_c - tel_t) * tdir <= 0.0)
 
-                    # y_out/f0_out equal (y_new, k7) when accepted, and the
-                    # window mask includes `accept`, so they are valid
-                    # interpolation primals wherever the mask fires. Each
-                    # accepted step's window holds only ~0-2 save points,
-                    # so every chunk is gated on its mask actually firing —
-                    # Mosaic lowers pl.when to real control flow, skipping
-                    # the Hermite work for the other ~n_save points.
-                    for c0, cs in _chunks():
-                        sa_c = sa[c0:c0 + cs]
-                        mask = _window_mask(t, dt_eff, is_last, t1, tdir,
-                                            acc_b, sa_c)
-                        fires = jnp.any(mask)
+                    def save_body(cu):
+                        th = (sar[cu] - t) / jnp.where(
+                            dt_eff == 0.0, 1.0, dt_eff)
+                        row = _hermite_row(th, dt_eff, y, y_out, f0, f0_out)
+                        ysr[pl.ds(cu, 1)] = row[None]
+                        return cu + 1
 
-                        def _update(c0=c0, cs=cs, sa_c=sa_c, mask=mask):
-                            yi = _hermite_chunk(t, dt_eff, y, y_out, f0,
-                                                f0_out, sa_c)
-                            ysr[c0:c0 + cs] = jnp.where(mask, yi,
-                                                        ysr[c0:c0 + cs])
-
-                        pl.when(fires)(_update)
+                    cur = lax.cond(
+                        acc_f > 0.5,
+                        lambda cu: lax.while_loop(save_cond, save_body, cu),
+                        lambda cu: cu, cur)
                 telt[i] = tel_t
                 teldt[i] = dt_eff
                 tele[i] = eest
@@ -293,16 +280,19 @@ def make_whole_solve(
                 d1.wait()
                 d2.wait()
                 acc_i = acc_f.astype(i32)
+                tail = (cur,) if n_save else ()
                 return (i + 1, t_new.astype(f32), dt_next.astype(f32),
                         qold_next.astype(f32), na + acc_i, nr + 1 - acc_i,
-                        (done_f > 0).astype(i32), y_out, f0_out)
+                        (done_f > 0).astype(i32)) + tail + (y_out, f0_out)
 
             done0 = (span == 0.0).astype(i32)
             init = (jnp.asarray(0, i32), t0, dt0,
                     jnp.asarray(ctrl.qoldinit, f32), jnp.asarray(0, i32),
-                    jnp.asarray(0, i32), done0, y0, f0r[:])
-            (_, t, dt, qold, na, nr, done, y, f0) = lax.while_loop(
-                cond, body, init)
+                    jnp.asarray(0, i32), done0)
+            init += ((cur0,) if n_save else ()) + (y0, f0r[:])
+            fin = lax.while_loop(cond, body, init)
+            t, dt, qold, na, nr, done = fin[1:7]
+            y = fin[-2]
             y1r[:] = y
             tfr[0, 0] = t
             dtfr[0, 0] = dt
@@ -310,6 +300,7 @@ def make_whole_solve(
             nar[0, 0] = na
             nrr[0, 0] = nr
             doner[0, 0] = done
+            curfr[0, 0] = fin[7] if n_save else jnp.asarray(0, i32)
 
         return kernel
 
@@ -337,7 +328,9 @@ def make_whole_solve(
             cttelg = refs[k]; k += 1
             cty1r = refs[k]; k += 1
             if n_save:
-                sar = refs[k]; k += 1
+                sar = refs[k]; k += 1     # SMEM (n_save,)
+                cur0r = refs[k]; k += 1   # SMEM (1,1) i32
+                curfr = refs[k]; k += 1   # SMEM (1,1) i32
                 ctysr_in = refs[k]; k += 1
             leaf_refs = refs[k:k + n_leaves]; k += n_leaves
             hyr = refs[k]; k += 1
@@ -362,25 +355,23 @@ def make_whole_solve(
             span = jnp.abs(t1 - t0)
             leaves = [r[:] for r in leaf_refs]
             count = jnp.asarray(float(batch * dim), f32)
-            if n_save:
-                sa = sar[:]
+            cur0v = cur0r[0, 0] if n_save else jnp.asarray(0, i32)
+            rcur0 = curfr[0, 0] if n_save else jnp.asarray(0, i32)
 
             step_fn = lambda t_, dt_, q_, y_, f_, t1_, sp_, ls_: trial_step(
                 t_, dt_, q_, y_, f_, t1_, sp_, tdir, count, ls_)
 
             ct_leaves0 = tuple(jnp.zeros(s, f32) for s in leaf_shapes)
-            consumed0 = (jnp.zeros((n_save, 1, dim), f32) if n_save
-                         else jnp.zeros((), f32))
             carry0 = (
                 cttfr[0, 0], ctdtfr[0, 0], ctqoldfr[0, 0],
                 cty1r[:], jnp.zeros((batch, dim), f32),
                 jnp.zeros((), f32), jnp.zeros((), f32),
-                consumed0,
+                rcur0,
             ) + ct_leaves0
 
             def body(j, c):
                 (ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_t1a, ct_spana,
-                 consumed) = c[:8]
+                 rcur) = c[:8]
                 ct_ls = c[8:]
                 i = ns - 1 - j
                 d1 = pltpu.make_async_copy(hyr.at[i], ldy, sem.at[0])
@@ -407,53 +398,41 @@ def make_whole_solve(
                 di_f0 = jnp.zeros((batch, dim), f32)
                 di_k7 = jnp.zeros((batch, dim), f32)
                 if n_save:
+                    # Reverse cursor: save rows were consumed in ascending
+                    # order by accepted windows (t, t_end]; walking steps in
+                    # reverse, this step owns rows rcur-1, rcur-2, ... while
+                    # their save time is strictly above the step start t_i.
+                    # Rejected steps consume nothing (acc_b gates the walk);
+                    # per step the non-firing cost is ONE scalar compare.
                     acc_b = acc_f > 0.5
-                    remaining = t1 - t_i
-                    is_last = (dt_i - remaining) * tdir >= 0
-                    # The window mask is (n_save, 1, dim) elementwise work —
-                    # computed full-width; only the B*D-sized Hermite work
-                    # below is chunked. The chunk loop is ROLLED (fori with
-                    # dynamic ref slices): unrolled chunks kept every
-                    # chunk's vjp temporaries live at once and blew the
-                    # scoped-VMEM budget by ~10MB at the latent shape.
-                    mask_full = _window_mask(t_i, dt_eff, is_last, t1,
-                                             tdir, acc_b, sa)
-                    consumed = jnp.where(mask_full, 1.0, consumed)
-                    ch = _SAVE_CHUNK
 
-                    def chunk_body(c, acc):
-                        c0 = c * ch
-                        sa_c = sar[pl.ds(c0, ch)]
-                        mask = _window_mask(t_i, dt_eff, is_last, t1,
-                                            tdir, acc_b, sa_c)
+                    def save_cond(c):
+                        r = c[0]
+                        sa_r = sar[jnp.maximum(r - 1, 0)]
+                        return acc_b & (r > cur0v) & (
+                            (sa_r - t_i) * tdir > 0.0)
 
-                        # Gate the Hermite vjp on the chunk's window
-                        # actually firing (true branch skipping on TPU) —
-                        # each step consumes only ~0-2 save points.
-                        def live(_):
-                            ct_c = ctysr_in[pl.ds(c0, ch)]
-                            ct_rows = jnp.where(mask, ct_c, 0.0)
-                            _, hvjp = jax.vjp(
-                                _hermite_chunk, t_i, dt_eff, y_i, y_out,
-                                f0_i, f0_out, sa_c)
-                            (h_t, h_dt, h_y, h_yn, h_f0, h_k7,
-                             _h_sa) = hvjp(ct_rows)
-                            return (h_t, h_dt, h_y, h_yn, h_f0, h_k7)
+                    def save_body(c):
+                        r, a_t, a_dt, a_y, a_yn, a_f0, a_k7 = c
+                        sa_r = sar[r - 1]
+                        ct_row = ctysr_in[pl.ds(r - 1, 1)][0]
 
-                        def dead(_):
-                            return (jnp.zeros((), f32), jnp.zeros((), f32),
-                                    jnp.zeros((batch, dim), f32),
-                                    jnp.zeros((batch, dim), f32),
-                                    jnp.zeros((batch, dim), f32),
-                                    jnp.zeros((batch, dim), f32))
+                        def herm(t_, dte, yy, yn, ff, kk):
+                            th = (sa_r - t_) / jnp.where(
+                                dte == 0.0, 1.0, dte)
+                            return _hermite_row(th, dte, yy, yn, ff, kk)
 
-                        h = lax.cond(jnp.any(mask), live, dead, 0)
-                        return tuple(a + b for a, b in zip(acc, h))
+                        _, hvjp = jax.vjp(herm, t_i, dt_eff, y_i, y_out,
+                                          f0_i, f0_out)
+                        h_t, h_dt, h_y, h_yn, h_f0, h_k7 = hvjp(ct_row)
+                        return (r - 1, a_t + h_t, a_dt + h_dt, a_y + h_y,
+                                a_yn + h_yn, a_f0 + h_f0, a_k7 + h_k7)
 
-                    (di_t, di_dteff, di_y, di_ynew, di_f0,
-                     di_k7) = lax.fori_loop(
-                        0, n_save // ch, chunk_body,
-                        (di_t, di_dteff, di_y, di_ynew, di_f0, di_k7))
+                    (rcur, di_t, di_dteff, di_y, di_ynew, di_f0,
+                     di_k7) = lax.while_loop(
+                        save_cond, save_body,
+                        (rcur, di_t, di_dteff, di_y, di_ynew, di_f0,
+                         di_k7))
 
                 seeds = (
                     ct_t, ct_dt, ct_qold,
@@ -467,20 +446,25 @@ def make_whole_solve(
                 (d_t, d_dt, d_q, d_y, d_f, d_t1, d_sp, d_ls) = vjp(seeds)
                 return (
                     d_t + di_t, d_dt, d_q, d_y + di_y, d_f + di_f0,
-                    ct_t1a + d_t1, ct_spana + d_sp, consumed,
+                    ct_t1a + d_t1, ct_spana + d_sp, rcur,
                 ) + tuple(a + b for a, b in zip(ct_ls, d_ls))
 
             out = lax.fori_loop(0, ns, body, carry0)
             (ct_t, ct_dt, _ct_qold, ct_y, ct_f0, ct_t1a, ct_spana,
-             consumed) = out[:8]
+             _rcur) = out[:8]
             ct_ls = out[8:]
             cty0r[:] = ct_y
             ctf0r[:] = ct_f0
             if n_save:
-                for c0, cs in _chunks():
-                    ctys0r[c0:c0 + cs] = jnp.where(
-                        consumed[c0:c0 + cs] > 0, 0.0,
-                        ctysr_in[c0:c0 + cs])
+                # ctys0r is aliased with ctysr_in: unconsumed rows (the
+                # t<=t0 seeds below cur0, and rows past curf when the solve
+                # failed) pass through in place; only the rows consumed by
+                # interpolation — exactly [cur0, curf) — are zeroed.
+                def zero_row(r, _):
+                    ctys0r[pl.ds(r, 1)] = jnp.zeros((1, batch, dim), f32)
+                    return 0
+
+                lax.fori_loop(cur0v, rcur0, zero_row, 0)
             for r, v in zip(ctleaf_refs, ct_ls):
                 r[:] = v
             ctt0r[0, 0] = ct_t - tdir * ct_spana
@@ -508,12 +492,13 @@ def make_whole_solve(
         in_specs = [smem11(f32)] * 3 + [vmem, vmem]
         aliases = {}
         if n_save:
-            sa3 = jnp.broadcast_to(
-                jnp.reshape(jnp.asarray(saveat, f32), (n_save, 1, 1)),
-                (n_save, 1, dim)) + jnp.zeros((), f32)
-            ins += [sa3, ys0]
-            in_specs += [vmem, vmem]
-            aliases[6] = 1  # ys0 -> ys output (in-place row updates)
+            sa1 = jnp.asarray(saveat, f32)
+            tdir = jnp.sign(jnp.asarray(t1, f32) - jnp.asarray(t0, f32))
+            cur0 = jnp.reshape(jnp.sum(
+                ((sa1 - t0) * tdir <= 0).astype(i32)), (1, 1))
+            ins += [sa1, cur0, ys0]
+            in_specs += [smem11(f32), smem11(i32), vmem]
+            aliases[7] = 1  # ys0 -> ys output (in-place row updates)
         ins += list(leaves)
         in_specs += [vmem] * n_leaves
 
@@ -527,10 +512,10 @@ def make_whole_solve(
         # window pads its minor dim to 128 lanes (128KB of SMEM each)
         outs_shape += [jax.ShapeDtypeStruct((max_steps,), f32)] * 8
         out_specs += [smem11(f32)] * 8
-        # final scalars
+        # final scalars (tf, dtf, qoldf, na, nr, done, curf)
         outs_shape += [jax.ShapeDtypeStruct((1, 1), f32)] * 3
-        outs_shape += [jax.ShapeDtypeStruct((1, 1), i32)] * 3
-        out_specs += [smem11(f32)] * 6
+        outs_shape += [jax.ShapeDtypeStruct((1, 1), i32)] * 4
+        out_specs += [smem11(f32)] * 7
         # HBM history
         outs_shape += [jax.ShapeDtypeStruct((max_steps, batch, dpad), f32)] * 2
         out_specs += [anym, anym]
@@ -556,7 +541,7 @@ def make_whole_solve(
             ys = res[k]; k += 1
         (telt, teldt, tele, telg, telacc,
          ht, hdt, hqold) = res[k:k + 8]; k += 8
-        tf, dtf, qoldf, na, nr, done = res[k:k + 6]; k += 6
+        tf, dtf, qoldf, na, nr, done, curf = res[k:k + 7]; k += 7
         hy, hf = res[k:k + 2]
         # Rows beyond the executed step count are UNINITIALIZED (the kernel
         # skips the costly in-kernel zeroing); mask them here so downstream
@@ -573,7 +558,7 @@ def make_whole_solve(
         )
         outs = (y1, ys if n_save else (), tel, tf[0, 0], dtf[0, 0],
                 qoldf[0, 0], na[0, 0], nr[0, 0], done[0, 0] > 0)
-        resid = (ht, hdt, hqold, hy, hf, na[0, 0] + nr[0, 0])
+        resid = (ht, hdt, hqold, hy, hf, na[0, 0] + nr[0, 0], curf)
         return outs, resid
 
     @jax.custom_vjp
@@ -593,7 +578,7 @@ def make_whole_solve(
 
     def solve_bwd(res, cts):
         (resid, tel, t0, t1, y0, f0, ys0, saveat, leaves) = res
-        ht, hdt, hqold, hy, hf, nsteps = resid
+        ht, hdt, hqold, hy, hf, nsteps, curf = resid
         (ct_y1, ct_ys, ct_tel, ct_tf, ct_dtf, ct_qoldf,
          _na, _nr, _done) = cts
         batch, dim = y0.shape
@@ -615,12 +600,13 @@ def make_whole_solve(
                     + [smem11(f32)] * 7 + [vmem])
         aliases = {}
         if n_save:
-            sa3 = jnp.broadcast_to(
-                jnp.reshape(jnp.asarray(saveat, f32), (n_save, 1, 1)),
-                (n_save, 1, dim)) + jnp.zeros((), f32)
-            ins += [sa3, _mat(ct_ys, ys0)]
-            in_specs += [vmem, vmem]
-            aliases[15] = 2  # ct_ys -> ct_ys0 output
+            sa1 = jnp.asarray(saveat, f32)
+            tdir = jnp.sign(jnp.asarray(t1, f32) - jnp.asarray(t0, f32))
+            cur0 = jnp.reshape(jnp.sum(
+                ((sa1 - t0) * tdir <= 0).astype(i32)), (1, 1))
+            ins += [sa1, cur0, curf, _mat(ct_ys, ys0)]
+            in_specs += [smem11(f32), smem11(i32), smem11(i32), vmem]
+            aliases[17] = 2  # ct_ys -> ct_ys0 output
         ins += list(leaves)
         in_specs += [vmem] * n_leaves
         ins += [hy, hf]
@@ -727,19 +713,13 @@ def whole_solve_odeint(
         dt_init = jnp.asarray(dt0, f32) * tdir
 
     n_save = 0
-    n_save_raw = 0
     ys0 = ()
     sa = ()
     if saveat is not None:
-        saveat = jnp.asarray(saveat, f32)
-        n_save_raw = int(saveat.shape[0])
-        # Pad the grid to a multiple of the kernel's save chunk with
-        # sentinel times strictly beyond the span (their windows never
-        # fire); the rolled in-kernel chunk loop needs uniform chunks.
-        pad = (-n_save_raw) % _SAVE_CHUNK
-        sa = jnp.concatenate(
-            [saveat, jnp.full((pad,), t1 + tdir, f32)]) if pad else saveat
-        n_save = n_save_raw + pad
+        # The cursor-based save kernel takes the sorted grid as-is — no
+        # chunk padding needed.
+        sa = jnp.asarray(saveat, f32)
+        n_save = int(sa.shape[0])
         at_start = (sa - t0) * tdir <= 0
         ys0 = jnp.where(
             at_start.reshape((-1, 1, 1)), y0[None],
@@ -752,8 +732,6 @@ def whole_solve_odeint(
     leaves = flatten(args)
     (y1, ys, tel, _tf, _dtf, _qoldf, na, nr, done) = solve(
         t0, t1, dt_init.astype(f32), y0, f_init, ys0, sa, list(leaves))
-    if saveat is not None and n_save != n_save_raw:
-        ys = ys[:n_save_raw]
     nsteps = na + nr
     stats = ODEStats(
         nfe=jnp.asarray(nfe_init, i32) + (TSIT5.num_stages - 1) * nsteps,
