@@ -3,9 +3,12 @@
 from regneuralde_tpu.ops.controller import PIController, initial_step_size
 from regneuralde_tpu.ops.norms import hairer_norm, norm_batched
 from regneuralde_tpu.ops.ode import ODESolution, ODEStats, StepTelemetry, odeint
+from regneuralde_tpu.ops.rosenbrock import ROSENBROCK23, make_rosenbrock23_sweep
 from regneuralde_tpu.ops.tableaus import BOSH3, TSIT5, get_tableau
 
 __all__ = [
+    "ROSENBROCK23",
+    "make_rosenbrock23_sweep",
     "odeint",
     "ODESolution",
     "ODEStats",

@@ -98,6 +98,10 @@ class _Carry(NamedTuple):
     naccept: jnp.ndarray
     nreject: jnp.ndarray
     ys_buf: Optional[Pytree]
+    # Extra per-loop state for composite solvers (the Auto* stiffness
+    # switch carries (alg, run, n_stiff_steps) here); plain solvers
+    # leave it empty.
+    aux: Any = ()
 
 
 class NormedSweep(NamedTuple):
@@ -112,6 +116,21 @@ class NormedSweep(NamedTuple):
     err_ssq: jnp.ndarray  # sum(((err)/(atol+max(|y|,|y_new|)rtol))^2)
     eig_num_ssq: jnp.ndarray  # sum((k_last - k_prev)^2)
     eig_den_ssq: jnp.ndarray  # sum((y_new - g_prev)^2)
+
+
+class EigenSweep(NamedTuple):
+    """A ``stage_sweep`` result that supplies its own stiffness estimate
+    instead of the explicit-RK two-stage quotient (used by implicit /
+    Rosenbrock trial steps, whose stage structure has no analogue of the
+    last-two-stages eigen_est). ``err`` is the raw embedded error (same
+    contract as the generic sweep); the step fn still runs
+    ``error_ratio`` on it, so step control composes with ``axis_name``
+    data parallelism — only ``eigen_est`` telemetry stays shard-local."""
+
+    y_new: Pytree
+    k_last: Pytree  # derivative at (t + dt, y_new): FSAL seed + Hermite
+    err: Pytree
+    eigen_est: jnp.ndarray
 
 
 def _hermite_eval(theta, h, y0, y1, f0, f1):
@@ -231,6 +250,12 @@ def _make_step_fn(
             eest, eigen_est = _normed_scalars(
                 err_ssq, num_ssq, den_ssq, count, err_dtype
             )
+        elif isinstance(res, EigenSweep):
+            y_new, k_last = res.y_new, res.k_last
+            eest = error_ratio(res.err, y, y_new, rtol, atol,
+                               axis_name=axis_name)
+            eest = eest.astype(err_dtype)
+            eigen_est = res.eigen_est.astype(err_dtype)
         else:
             y_new, k_last, err, k_prev, g_prev = res
             eest = error_ratio(err, y, y_new, rtol, atol, axis_name=axis_name)
@@ -311,6 +336,73 @@ def _make_step_fn(
 
 # ---------------------------------------------------------------------------
 # Differentiable early-exit mode ("adjoint"): while_loop forward storing the
+#: AutoSwitch thresholds (OrdinaryDiffEq's AutoSwitch procedure with the
+#: stifftol calibrated to THIS package's eigen_est): switch to the stiff
+#: algorithm after `maxstiffstep` consecutive accepted steps whose
+#: normalized indicator `|eigen_est|*dt / stability_size(nonstiff alg)`
+#: exceeds `stifftol`, and back after `maxnonstiffstep` consecutive
+#: accepted steps below `nonstifftol`. Calibration: an explicit method
+#: running at its stability limit measures ~1.02 here (Robertson, Tsit5,
+#: rtol 1e-6 — the controller's accept/grow cycle hugs the boundary from
+#: just above), while accuracy-limited nonstiff solves sit far below 1,
+#: so the stiff trigger is 1.0 (upstream's 11/10 never fires for this
+#: eigen_est estimator). On a switch, dt is scaled by `dtfac` (up into
+#: the stiff method, down out of it).
+_AUTO_MAXSTIFFSTEP = 10
+_AUTO_MAXNONSTIFFSTEP = 3
+_AUTO_STIFFTOL = 1.0
+_AUTO_NONSTIFFTOL = 9.0 / 10.0
+_AUTO_DTFAC = 2.0
+
+
+def _make_auto_step(step_ns, noop_ns, step_st, stab_size: float):
+    """Wrap a nonstiff and a stiff step fn into one stiffness-switching
+    step (the Auto* composite of OrdinaryDiffEq, reference:
+    experiments/mnist_node.jl:70-81 — where upstream's composite is
+    degenerate, `AutoTsit5(Tsit5())`, because only its eigen_est
+    telemetry is consumed; here the stiff arm is a real Rosenbrock23).
+
+    The switching state rides ``carry.aux = (alg, run, n_stiff)``:
+    ``alg`` is the active algorithm (0 nonstiff / 1 stiff), ``run``
+    counts consecutive accepted steps voting for a switch, ``n_stiff``
+    counts trial steps executed by the stiff arm (NFE accounting —
+    the two arms cost different f evaluations per step)."""
+
+    def step(carry: _Carry):
+        alg, run, n_stiff = carry.aux
+        base = carry._replace(aux=())
+        new, out = lax.cond(alg == 1, step_st, step_ns, base)
+
+        stiffness = jnp.abs(out.eigen_est) * jnp.abs(out.dt) / stab_size
+        vote = jnp.where(
+            alg == 1,
+            stiffness < _AUTO_NONSTIFFTOL,
+            stiffness > _AUTO_STIFFTOL,
+        ) & out.accepted
+        run = jnp.where(vote, run + 1,
+                        jnp.where(out.accepted, 0, run))
+        limit = jnp.where(alg == 1, _AUTO_MAXNONSTIFFSTEP,
+                          _AUTO_MAXSTIFFSTEP)
+        flip = run >= limit
+        dt_new = jnp.where(
+            flip,
+            jnp.where(alg == 0, new.dt * _AUTO_DTFAC,
+                      new.dt / _AUTO_DTFAC),
+            new.dt,
+        )
+        aux = (
+            jnp.where(flip, 1 - alg, alg),
+            jnp.where(flip, 0, run),
+            n_stiff + (alg == 1).astype(jnp.int32),
+        )
+        return new._replace(dt=dt_new.astype(new.dt.dtype), aux=aux), out
+
+    def noop(carry: _Carry):
+        return noop_ns(carry)
+
+    return step, noop
+
+
 # per-trial-step carry, custom_vjp backward replaying ONLY live steps in a
 # reverse while_loop. Unlike the bounded scan, neither direction pays for
 # dead iterations past the step where integration finished — the scan mode's
@@ -911,7 +1003,9 @@ def odeint(
       t0, t1: scalars; ``t1 < t0`` integrates backwards (used by FFJORD
         sampling, reference: src/models/ffjord.jl:160-167).
       args: passed through to ``func`` (typically model parameters).
-      solver: tableau name (``tsit5`` / ``bosh3``).
+      solver: ``tsit5`` / ``dopri5`` / ``bosh3`` (explicit tableaus) or
+        ``rosenbrock23`` (L-stable stiff W-method; ndarray states only —
+        see ops.rosenbrock).
       rtol, atol: tolerances; the reference experiments use 1.4e-8
         (reference: experiments/mnist_node.jl:122-123).
       dt0: initial step; ``None`` uses Hairer's heuristic (one extra NFE,
@@ -949,7 +1043,39 @@ def odeint(
                 stage_sweep_bwd=stage_sweep_bwd,
                 _bwd_precision=matmul_precision,
             )
-    tab = get_tableau(solver)
+    auto_composite = False
+    if solver == "rosenbrock23":
+        # Stiff path: ode23s W-method plugged in through the stage_sweep
+        # contract — same controller, telemetry, saveat, and AD engines.
+        if stage_sweep is not None or stage_sweep_bwd is not None:
+            raise ValueError(
+                "solver='rosenbrock23' provides its own stage sweep")
+        from regneuralde_tpu.ops.rosenbrock import (
+            ROSENBROCK23, make_rosenbrock23_sweep)
+
+        tab = ROSENBROCK23
+        stage_sweep = make_rosenbrock23_sweep(func)
+    elif solver.startswith("auto_"):
+        # Stiffness-switching composite, e.g. "auto_tsit5_rosenbrock23"
+        # (OrdinaryDiffEq's AutoTsit5(Rosenbrock23()), reference:
+        # experiments/mnist_node.jl:70-81).
+        ns_name, _, st_name = solver[5:].rpartition("_")
+        if st_name != "rosenbrock23" or not ns_name:
+            raise ValueError(
+                f"unknown composite {solver!r}; use "
+                "'auto_<tsit5|dopri5|bosh3>_rosenbrock23'")
+        if mode not in ("scan", "while"):
+            raise ValueError(
+                "auto_* composites support mode='scan' (differentiable) "
+                "or 'while'; the custom-vjp adjoint engines do not carry "
+                "the switching state")
+        if stage_sweep is not None or stage_sweep_bwd is not None:
+            raise ValueError(
+                "auto_* composites provide their own stage sweeps")
+        tab = get_tableau(ns_name)
+        auto_composite = True
+    else:
+        tab = get_tableau(solver)
     ctrl = controller or PIController.for_order(tab.order)
 
     time_dtype = jnp.result_type(jnp.asarray(t0).dtype, jnp.float32)
@@ -1003,6 +1129,23 @@ def odeint(
         func, args, tab, ctrl, t1, tdir, span, rtol, atol, saveat, axis_name,
         stage_sweep=stage_sweep,
     )
+
+    n_stages_stiff = 0
+    if auto_composite:
+        from regneuralde_tpu.ops.rosenbrock import (
+            ROSENBROCK23, make_rosenbrock23_sweep)
+
+        n_stages_stiff = ROSENBROCK23.num_stages
+        ctrl_st = controller or PIController.for_order(ROSENBROCK23.order)
+        step_st, _ = _make_step_fn(
+            func, args, ROSENBROCK23, ctrl_st, t1, tdir, span, rtol, atol,
+            saveat, axis_name,
+            stage_sweep=make_rosenbrock23_sweep(func),
+        )
+        step_fn, noop_fn = _make_auto_step(
+            step_fn, noop_fn, step_st, tab.stability_size)
+        zero_i = jnp.asarray(0, jnp.int32)
+        init = init._replace(aux=(zero_i, zero_i, zero_i))
 
     if mode == "adjoint":
         fast = stage_sweep is not None and stage_sweep_bwd is not None
@@ -1090,8 +1233,14 @@ def odeint(
         )
 
     nsteps = final.naccept + final.nreject
+    nfe = jnp.asarray(nfe_init, jnp.int32) + (tab.num_stages - 1) * nsteps
+    if auto_composite:
+        # The two arms cost different fresh f evaluations per trial step;
+        # final.aux[2] counts the trial steps the stiff arm executed.
+        n_stiff = final.aux[2]
+        nfe = nfe + (n_stages_stiff - tab.num_stages) * n_stiff
     stats = ODEStats(
-        nfe=jnp.asarray(nfe_init, jnp.int32) + (tab.num_stages - 1) * nsteps,
+        nfe=nfe,
         naccept=final.naccept,
         nreject=final.nreject,
         success=final.done,

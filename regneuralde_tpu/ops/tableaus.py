@@ -191,5 +191,7 @@ def get_tableau(name: str) -> ExplicitRKTableau:
         return TABLEAUS[name.lower()]
     except KeyError:
         raise ValueError(
-            f"unknown solver {name!r}; available: {sorted(TABLEAUS)}"
+            f"unknown solver {name!r}; available: {sorted(TABLEAUS)}, "
+            "plus 'rosenbrock23' and 'auto_<name>_rosenbrock23' "
+            "(ops.rosenbrock)"
         ) from None
