@@ -18,8 +18,9 @@ SRI solve inside a single kernel per direction:
 * forward: in-kernel ``lax.while_loop`` carrying (t, dt, qold, y,
   tail_h, tail_w, tail_z); per-step history (y and the Brownian tail)
   DMA'd to HBM; telemetry/controller scalars in SMEM streams; ``saveat``
-  rows linearly interpolated (matching ``ops.sde``'s scan semantics) in
-  mask-gated static chunks.
+  rows linearly interpolated (matching ``ops.sde``'s scan semantics) via
+  the same monotone save cursor as ``ops.pallas_solve`` — one scalar
+  compare per step, row writes fire exactly ``n_save`` times per solve.
 * backward: one kernel walks the history in reverse, seeding ``jax.vjp``
   of the SAME in-kernel ``trial_step`` with the running cotangents —
   gradients flow through the bridge's dt-dependent scale, the embedded
@@ -58,8 +59,6 @@ from regneuralde_tpu.ops.sri import (
 
 f32 = jnp.float32
 i32 = jnp.int32
-
-_SAVE_CHUNK = 4
 
 
 def _pad128(d: int) -> int:
@@ -183,23 +182,10 @@ def make_sde_whole_solve(
                 tail_z_out, tel_t, dt_eff, eest.astype(f32),
                 eigen_est.astype(f32), acc_f, done_f)
 
-    def _lin_chunk(t, dt_eff, y, y_new, sa_c):
-        """Linear-interpolation rows for one static saveat chunk
-        (matches ops.sde's in-step ``lin``); ``sa_c`` is (cs, 1, dim)."""
-        th = (sa_c - t) / jnp.where(dt_eff == 0.0, 1.0, dt_eff)
-        return (1 - th) * y[None] + th * y_new[None]
-
-    def _window_mask(t, dt_eff, is_last, t1, acc_b, sa_c):
-        t_end = jnp.where(is_last, t1, t + dt_eff)
-        return acc_b & (sa_c - t > 0) & (sa_c - t_end <= 0)
-
-    def _chunks():
-        out = []
-        c0 = 0
-        while c0 < n_save:
-            out.append((c0, min(_SAVE_CHUNK, n_save - c0)))
-            c0 += _SAVE_CHUNK
-        return out
+    def _lin_row(th, y, y_new):
+        """Linear interpolation at scalar fraction ``th`` on one
+        (batch, dim) row (matches ops.sde's in-step ``lin``)."""
+        return (1 - th) * y + th * y_new
 
     # ------------------------------------------------------------------
     # forward kernel
@@ -213,7 +199,8 @@ def make_sde_whole_solve(
             dt0r = refs[k]; k += 1
             y0r = refs[k]; k += 1
             if n_save:
-                sar = refs[k]; k += 1
+                sar = refs[k]; k += 1     # SMEM (n_save,) sorted save times
+                cur0r = refs[k]; k += 1   # SMEM (1,1) i32: rows at/before t0
                 ys0r = refs[k]; k += 1
             leaf_refs = refs[k:k + n_leaves]; k += n_leaves
             xiwr = refs[k]; k += 1  # HBM (max_steps, batch, dpad)
@@ -236,6 +223,7 @@ def make_sde_whole_solve(
             nar = refs[k]; k += 1
             nrr = refs[k]; k += 1
             doner = refs[k]; k += 1
+            curfr = refs[k]; k += 1
             hyr = refs[k]; k += 1   # HBM history: y
             hwr = refs[k]; k += 1   # HBM history: tail_w
             hzr = refs[k]; k += 1   # HBM history: tail_z
@@ -253,19 +241,24 @@ def make_sde_whole_solve(
             leaves = [r[:] for r in leaf_refs]
             y0 = y0r[:]
             dim = y0.shape[-1]
-            if n_save:
-                sa = sar[:]
+            cur0 = cur0r[0, 0] if n_save else jnp.asarray(0, i32)
 
             # No in-kernel stream zeroing (a fori_loop of max_steps scalar
             # SMEM stores costs ~ms on the scalar core); rows beyond the
             # executed step count are masked by the XLA-side wrapper.
+            # Saveat uses the same monotone cursor as ops.pallas_solve:
+            # one scalar compare per step, interpolation fires exactly
+            # n_save times per solve.
 
             def cond(c):
-                i, t, dt, qold, th, na, nr, done, y, tw, tz = c
-                return (done == 0) & (i < max_steps)
+                return (c[7] == 0) & (c[0] < max_steps)
 
             def body(c):
-                i, t, dt, qold, th, na, nr, done, y, tw, tz = c
+                if n_save:
+                    (i, t, dt, qold, th, na, nr, done, cur,
+                     y, tw, tz) = c
+                else:
+                    i, t, dt, qold, th, na, nr, done, y, tw, tz = c
                 ht[i] = t
                 hdt[i] = dt
                 hqold[i] = qold
@@ -287,23 +280,23 @@ def make_sde_whole_solve(
                     t, dt, qold, y, th, tw, tz, xi_w, xi_z, t1, span,
                     leaves)
                 if n_save:
-                    acc_b = acc_f > 0.5
-                    remaining = t1 - t
-                    is_last = dt >= remaining
-                    y_new_interp = y_out  # == y_new where the mask fires
-                    for c0, cs in _chunks():
-                        sa_c = sa[c0:c0 + cs]
-                        mask = _window_mask(t, dt_eff, is_last, t1, acc_b,
-                                            sa_c)
-                        fires = jnp.any(mask)
+                    # y_out == y_new where accepted; tel_t is the accepted
+                    # step's endpoint — the cursor consumes (t, tel_t].
+                    def save_cond(cu):
+                        sa_c = sar[jnp.minimum(cu, n_save - 1)]
+                        return (cu < n_save) & (sa_c - tel_t <= 0.0)
 
-                        def _update(c0=c0, cs=cs, sa_c=sa_c, mask=mask):
-                            yi = _lin_chunk(t, dt_eff, y, y_new_interp,
-                                            sa_c)
-                            ysr[c0:c0 + cs] = jnp.where(
-                                mask, yi, ysr[c0:c0 + cs])
+                    def save_body(cu):
+                        thf = (sar[cu] - t) / jnp.where(
+                            dt_eff == 0.0, 1.0, dt_eff)
+                        row = _lin_row(thf, y, y_out)
+                        ysr[pl.ds(cu, 1)] = row[None]
+                        return cu + 1
 
-                        pl.when(fires)(_update)
+                    cur = lax.cond(
+                        acc_f > 0.5,
+                        lambda cu: lax.while_loop(save_cond, save_body, cu),
+                        lambda cu: cu, cur)
                 telt[i] = tel_t
                 teldt[i] = dt_eff
                 tele[i] = eest
@@ -311,26 +304,29 @@ def make_sde_whole_solve(
                 telacc[i] = acc_f
                 d1.wait(); d2.wait(); d3.wait()
                 acc_i = acc_f.astype(i32)
+                tail = (cur,) if n_save else ()
                 return (i + 1, t_new.astype(f32), dt_next.astype(f32),
                         qold_next.astype(f32), th_out.astype(f32),
                         na + acc_i, nr + 1 - acc_i,
-                        (done_f > 0).astype(i32), y_out, tw_out, tz_out)
+                        (done_f > 0).astype(i32)) + tail + (
+                        y_out, tw_out, tz_out)
 
             done0 = (span == 0.0).astype(i32)
             zeros_b = jnp.zeros_like(y0)
             init = (jnp.asarray(0, i32), t0, dt0,
                     jnp.asarray(ctrl.qoldinit, f32), jnp.asarray(0.0, f32),
-                    jnp.asarray(0, i32), jnp.asarray(0, i32), done0,
-                    y0, zeros_b, zeros_b)
-            (_, t, dt, qold, th, na, nr, done, y, tw, tz) = lax.while_loop(
-                cond, body, init)
-            y1r[:] = y
+                    jnp.asarray(0, i32), jnp.asarray(0, i32), done0)
+            init += ((cur0,) if n_save else ()) + (y0, zeros_b, zeros_b)
+            fin = lax.while_loop(cond, body, init)
+            t, dt, qold, th, na, nr, done = fin[1:8]
+            y1r[:] = fin[-3]
             tfr[0, 0] = t
             dtfr[0, 0] = dt
             qoldfr[0, 0] = qold
             nar[0, 0] = na
             nrr[0, 0] = nr
             doner[0, 0] = done
+            curfr[0, 0] = fin[8] if n_save else jnp.asarray(0, i32)
 
         return kernel
 
@@ -357,7 +353,9 @@ def make_sde_whole_solve(
             cttelg = refs[k]; k += 1
             cty1r = refs[k]; k += 1
             if n_save:
-                sar = refs[k]; k += 1
+                sar = refs[k]; k += 1     # SMEM (n_save,)
+                cur0r = refs[k]; k += 1   # SMEM (1,1) i32
+                curfr = refs[k]; k += 1   # SMEM (1,1) i32
                 ctysr_in = refs[k]; k += 1
             leaf_refs = refs[k:k + n_leaves]; k += n_leaves
             xiwr = refs[k]; k += 1
@@ -385,27 +383,25 @@ def make_sde_whole_solve(
             ns = nsr[0, 0]
             span = t1 - t0
             leaves = [r[:] for r in leaf_refs]
-            if n_save:
-                sa = sar[:]
+            cur0v = cur0r[0, 0] if n_save else jnp.asarray(0, i32)
+            rcur0 = curfr[0, 0] if n_save else jnp.asarray(0, i32)
 
             step_fn = lambda t_, dt_, q_, y_, th_, tw_, tz_, xw_, xz_, \
                 t1_, sp_, ls_: trial_step(t_, dt_, q_, y_, th_, tw_, tz_,
                                           xw_, xz_, t1_, sp_, ls_)
 
             ct_leaves0 = tuple(jnp.zeros(s, f32) for s in leaf_shapes)
-            consumed0 = (jnp.zeros((n_save, 1, dim), f32) if n_save
-                         else jnp.zeros((), f32))
             zeros_b = jnp.zeros((batch, dim), f32)
             carry0 = (
                 cttfr[0, 0], ctdtfr[0, 0], ctqoldfr[0, 0],
                 cty1r[:], jnp.zeros((), f32), zeros_b, zeros_b,
                 jnp.zeros((), f32), jnp.zeros((), f32),
-                consumed0,
+                rcur0,
             ) + ct_leaves0
 
             def body(j, c):
                 (ct_t, ct_dt, ct_qold, ct_y, ct_th, ct_tw, ct_tz,
-                 ct_t1a, ct_spana, consumed) = c[:10]
+                 ct_t1a, ct_spana, rcur) = c[:10]
                 ct_ls = c[10:]
                 i = ns - 1 - j
                 d1 = pltpu.make_async_copy(hyr.at[i], ldy, sem.at[0])
@@ -436,39 +432,34 @@ def make_sde_whole_solve(
                 di_y = jnp.zeros((batch, dim), f32)
                 di_ynew = jnp.zeros((batch, dim), f32)
                 if n_save:
+                    # Reverse cursor (see ops.pallas_solve): this accepted
+                    # step owns rows rcur-1, rcur-2, ... while their save
+                    # time lies strictly above the step start t_i.
                     acc_b = acc_f > 0.5
-                    remaining = t1 - t_i
-                    is_last = dt_i >= remaining
-                    mask_full = _window_mask(t_i, dt_eff, is_last, t1,
-                                             acc_b, sa)
-                    consumed = jnp.where(mask_full, 1.0, consumed)
-                    ch = _SAVE_CHUNK
 
-                    def chunk_body(cix, acc):
-                        c0 = cix * ch
-                        sa_c = sar[pl.ds(c0, ch)]
-                        mask = _window_mask(t_i, dt_eff, is_last, t1,
-                                            acc_b, sa_c)
+                    def save_cond(c_):
+                        r = c_[0]
+                        sa_r = sar[jnp.maximum(r - 1, 0)]
+                        return acc_b & (r > cur0v) & (sa_r - t_i > 0.0)
 
-                        def live(_):
-                            ct_c = ctysr_in[pl.ds(c0, ch)]
-                            ct_rows = jnp.where(mask, ct_c, 0.0)
-                            _, lvjp = jax.vjp(_lin_chunk, t_i, dt_eff,
-                                              y_i, y_out, sa_c)
-                            (l_t, l_dt, l_y, l_yn, _l_sa) = lvjp(ct_rows)
-                            return (l_t, l_dt, l_y, l_yn)
+                    def save_body(c_):
+                        r, a_t, a_dt, a_y, a_yn = c_
+                        sa_r = sar[r - 1]
+                        ct_row = ctysr_in[pl.ds(r - 1, 1)][0]
 
-                        def dead(_):
-                            return (jnp.zeros((), f32), jnp.zeros((), f32),
-                                    jnp.zeros((batch, dim), f32),
-                                    jnp.zeros((batch, dim), f32))
+                        def lin(t_, dte, yy, yn):
+                            thf = (sa_r - t_) / jnp.where(
+                                dte == 0.0, 1.0, dte)
+                            return _lin_row(thf, yy, yn)
 
-                        h = lax.cond(jnp.any(mask), live, dead, 0)
-                        return tuple(a + b for a, b in zip(acc, h))
+                        _, lvjp = jax.vjp(lin, t_i, dt_eff, y_i, y_out)
+                        l_t, l_dt, l_y, l_yn = lvjp(ct_row)
+                        return (r - 1, a_t + l_t, a_dt + l_dt, a_y + l_y,
+                                a_yn + l_yn)
 
-                    (di_t, di_dteff, di_y, di_ynew) = lax.fori_loop(
-                        0, n_save // ch, chunk_body,
-                        (di_t, di_dteff, di_y, di_ynew))
+                    (rcur, di_t, di_dteff, di_y, di_ynew) = lax.while_loop(
+                        save_cond, save_body,
+                        (rcur, di_t, di_dteff, di_y, di_ynew))
 
                 seeds = (
                     ct_t, ct_dt, ct_qold,
@@ -483,19 +474,22 @@ def make_sde_whole_solve(
                  d_t1, d_sp, d_ls) = vjp(seeds)
                 return (
                     d_t + di_t, d_dt, d_q, d_y + di_y, d_th, d_tw, d_tz,
-                    ct_t1a + d_t1, ct_spana + d_sp, consumed,
+                    ct_t1a + d_t1, ct_spana + d_sp, rcur,
                 ) + tuple(a + b for a, b in zip(ct_ls, d_ls))
 
             out = lax.fori_loop(0, ns, body, carry0)
             (ct_t, ct_dt, _ct_qold, ct_y, _ct_th, _ct_tw, _ct_tz,
-             ct_t1a, ct_spana, consumed) = out[:10]
+             ct_t1a, ct_spana, _rcur) = out[:10]
             ct_ls = out[10:]
             cty0r[:] = ct_y
             if n_save:
-                for c0, cs in _chunks():
-                    ctys0r[c0:c0 + cs] = jnp.where(
-                        consumed[c0:c0 + cs] > 0, 0.0,
-                        ctysr_in[c0:c0 + cs])
+                # Aliased pass-through; only the consumed range [cur0,
+                # curf) is zeroed (see ops.pallas_solve).
+                def zero_row(r, _):
+                    ctys0r[pl.ds(r, 1)] = jnp.zeros((1, batch, dim), f32)
+                    return 0
+
+                lax.fori_loop(cur0v, rcur0, zero_row, 0)
             for r, v in zip(ctleaf_refs, ct_ls):
                 r[:] = v
             # span = t1 - t0: route the accumulated span cotangent.
@@ -524,12 +518,12 @@ def make_sde_whole_solve(
         in_specs = [smem] * 3 + [vmem]
         aliases = {}
         if n_save:
-            sa3 = jnp.broadcast_to(
-                jnp.reshape(jnp.asarray(saveat, f32), (n_save, 1, 1)),
-                (n_save, 1, dim)) + jnp.zeros((), f32)
-            ins += [sa3, ys0]
-            in_specs += [vmem, vmem]
-            aliases[5] = 1  # ys0 -> ys output (in-place row updates)
+            sa1 = jnp.asarray(saveat, f32)
+            cur0 = jnp.reshape(jnp.sum(
+                (sa1 - t0 <= 0).astype(i32)), (1, 1))
+            ins += [sa1, cur0, ys0]
+            in_specs += [smem, smem, vmem]
+            aliases[6] = 1  # ys0 -> ys output (in-place row updates)
         ins += list(leaves)
         in_specs += [vmem] * n_leaves
         ins += [xi_w, xi_z]
@@ -543,9 +537,10 @@ def make_sde_whole_solve(
             out_specs.append(vmem)
         outs_shape += [jax.ShapeDtypeStruct((max_steps,), f32)] * 9
         out_specs += [smem] * 9
+        # final scalars (tf, dtf, qoldf, na, nr, done, curf)
         outs_shape += [jax.ShapeDtypeStruct((1, 1), f32)] * 3
-        outs_shape += [jax.ShapeDtypeStruct((1, 1), i32)] * 3
-        out_specs += [smem] * 6
+        outs_shape += [jax.ShapeDtypeStruct((1, 1), i32)] * 4
+        out_specs += [smem] * 7
         outs_shape += [jax.ShapeDtypeStruct((max_steps, batch, dpad),
                                             f32)] * 3
         out_specs += [anym] * 3
@@ -573,7 +568,7 @@ def make_sde_whole_solve(
             ys = res[k]; k += 1
         (telt, teldt, tele, telg, telacc,
          ht, hdt, hqold, hth) = res[k:k + 9]; k += 9
-        tf, dtf, qoldf, na, nr, done = res[k:k + 6]; k += 6
+        tf, dtf, qoldf, na, nr, done, curf = res[k:k + 7]; k += 7
         hy, hw, hz = res[k:k + 3]
         # Mask the uninitialized rows beyond the executed step count (the
         # kernel skips in-kernel zeroing; masked reductions multiply).
@@ -589,7 +584,8 @@ def make_sde_whole_solve(
         )
         outs = (y1, ys if n_save else (), tel, tf[0, 0], dtf[0, 0],
                 qoldf[0, 0], na[0, 0], nr[0, 0], done[0, 0] > 0)
-        resid = (ht, hdt, hqold, hth, hy, hw, hz, na[0, 0] + nr[0, 0])
+        resid = (ht, hdt, hqold, hth, hy, hw, hz, na[0, 0] + nr[0, 0],
+                 curf)
         return outs, resid
 
     @jax.custom_vjp
@@ -611,7 +607,7 @@ def make_sde_whole_solve(
 
     def solve_bwd(res, cts):
         (resid, t0, t1, y0, ys0, saveat, xi_w, xi_z, leaves) = res
-        ht, hdt, hqold, hth, hy, hw, hz, nsteps = resid
+        ht, hdt, hqold, hth, hy, hw, hz, nsteps, curf = resid
         (ct_y1, ct_ys, ct_tel, ct_tf, ct_dtf, ct_qoldf,
          _na, _nr, _done) = cts
         batch, dim = y0.shape
@@ -632,12 +628,12 @@ def make_sde_whole_solve(
         in_specs = ([smem] * 2 + [smem] + [smem] * 3 + [smem] * 8 + [vmem])
         aliases = {}
         if n_save:
-            sa3 = jnp.broadcast_to(
-                jnp.reshape(jnp.asarray(saveat, f32), (n_save, 1, 1)),
-                (n_save, 1, dim)) + jnp.zeros((), f32)
-            ins += [sa3, _mat(ct_ys, ys0)]
-            in_specs += [vmem, vmem]
-            aliases[16] = 1  # ct_ys -> ct_ys0 output
+            sa1 = jnp.asarray(saveat, f32)
+            cur0 = jnp.reshape(jnp.sum(
+                (sa1 - t0 <= 0).astype(i32)), (1, 1))
+            ins += [sa1, cur0, curf, _mat(ct_ys, ys0)]
+            in_specs += [smem, smem, smem, vmem]
+            aliases[18] = 1  # ct_ys -> ct_ys0 output
         ins += list(leaves)
         in_specs += [vmem] * n_leaves
         ins += [xi_w, xi_z, hy, hw, hz]
@@ -758,17 +754,12 @@ def whole_solve_sdeint(
         xi_z = jnp.concatenate([xi_z, zp], -1)
 
     n_save = 0
-    n_save_raw = 0
     ys0 = ()
     sa = ()
     if saveat is not None:
-        saveat = jnp.asarray(saveat, f32)
-        n_save_raw = int(saveat.shape[0])
-        pad_n = (-n_save_raw) % _SAVE_CHUNK
-        sa = jnp.concatenate(
-            [saveat, jnp.full((pad_n,), t1 + 1.0, f32)]
-        ) if pad_n else saveat
-        n_save = n_save_raw + pad_n
+        # The cursor-based save kernel takes the sorted grid as-is.
+        sa = jnp.asarray(saveat, f32)
+        n_save = int(sa.shape[0])
         at_start = sa - t0 <= 0
         ys0 = jnp.where(
             at_start.reshape((-1, 1, 1)), y0[None],
@@ -780,8 +771,6 @@ def whole_solve_sdeint(
     )
     (y1, ys, tel, _tf, _dtf, _qoldf, na, nr, done) = solve(
         t0, t1, dt_init, y0, ys0, sa, xi_w, xi_z, list(leaves))
-    if saveat is not None and n_save != n_save_raw:
-        ys = ys[:n_save_raw]
     tab = get_tableau(solver)
     nsteps = na + nr
     stats = SDEStats(

@@ -81,10 +81,41 @@ def whole_solve_grads():
                                    rtol=2e-2, atol=1e-4)
 
 
+def sde_whole_solve_grads():
+    """Fused SDE whole-solve kernel (saveat path incl. the save cursor)
+    vs the unfused adjoint engine: same presampled draws -> gradients
+    must match on-device."""
+    from regneuralde_tpu.models import MLP, NeuralSDE
+
+    drift = MLP(features=(16, 8))
+    diff = MLP(features=(8,))
+    x = jax.random.normal(jax.random.PRNGKey(2), (64, 8)) * 0.4
+    sa = jnp.asarray([0.0, 0.4, 1.0])
+    kwargs = dict(solver="sosri", rtol=1.4e-1, atol=1.4e-1, max_steps=64,
+                  saveat=sa)
+    nsde_f = NeuralSDE(drift, diff, fused=True, **kwargs)
+    nsde_u = NeuralSDE(drift, diff, fused=False, **kwargs)
+    p = nsde_f.init(jax.random.PRNGKey(3), x)
+    key = jax.random.PRNGKey(7)
+
+    def loss(model, p):
+        out = model(p, x, key)
+        return jnp.sum(out.value ** 2)
+
+    gf = jax.jit(jax.grad(lambda p: loss(nsde_f, p)))(p)
+    gu = jax.jit(jax.grad(lambda p: loss(nsde_u, p)))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=1e-4)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     if jax.default_backend() == "cpu":
         print("WARNING: running on CPU — these checks target the TPU")
     check("adjoint_grads_survive_accelerator_precision", adjoint_precision)
     check("whole_solve_grads_match_scan_on_device", whole_solve_grads)
+    check("sde_whole_solve_grads_match_unfused_on_device",
+          sde_whole_solve_grads)
     sys.exit(1 if failures else 0)
