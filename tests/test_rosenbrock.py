@@ -160,6 +160,27 @@ class TestRosenbrock23:
                    max_steps=32, mode="while")
 
 
+class TestModelLayer:
+    def test_neural_ode_with_rosenbrock(self):
+        """The public model API composes with the stiff solver: forward +
+        gradient through NeuralODE(solver='rosenbrock23')."""
+        from regneuralde_tpu.models import MLPDynamics, NeuralODE
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (16, 6)) * 0.4
+        node = NeuralODE(MLPDynamics(dim=6, hidden=8), time_dep=True,
+                         solver="rosenbrock23", rtol=1e-4, atol=1e-6,
+                         max_steps=64)
+        p = node.init(jax.random.PRNGKey(1), x)
+        out = node(p, x)
+        assert bool(jnp.all(jnp.isfinite(out.value)))
+        assert int(out.nfe) == 2 + 2 * int(
+            jnp.sum(out.telemetry.live))
+
+        g = jax.grad(lambda pp: jnp.sum(node(pp, x).value ** 2))(p)
+        assert all(bool(jnp.all(jnp.isfinite(l)))
+                   for l in jax.tree_util.tree_leaves(g))
+
+
 class TestAutoSwitch:
     def test_switches_and_solves_robertson(self):
         """auto_tsit5_rosenbrock23 starts explicit, detects stiffness, and
