@@ -124,8 +124,9 @@ class EigenSweep(NamedTuple):
     Rosenbrock trial steps, whose stage structure has no analogue of the
     last-two-stages eigen_est). ``err`` is the raw embedded error (same
     contract as the generic sweep); the step fn still runs
-    ``error_ratio`` on it, so step control composes with ``axis_name``
-    data parallelism — only ``eigen_est`` telemetry stays shard-local."""
+    ``error_ratio`` on it, and pmax's ``eigen_est`` across ``axis_name``,
+    so step control AND Auto* switching stay in lockstep under data
+    parallelism."""
 
     y_new: Pytree
     k_last: Pytree  # derivative at (t + dt, y_new): FSAL seed + Hermite
@@ -256,6 +257,10 @@ def _make_step_fn(
                                axis_name=axis_name)
             eest = eest.astype(err_dtype)
             eigen_est = res.eigen_est.astype(err_dtype)
+            if axis_name is not None:
+                # Global worst case over shards: keeps the estimate (and
+                # any Auto* switch decision built on it) in lockstep.
+                eigen_est = lax.pmax(eigen_est, axis_name)
         else:
             y_new, k_last, err, k_prev, g_prev = res
             eest = error_ratio(err, y, y_new, rtol, atol, axis_name=axis_name)
