@@ -144,6 +144,180 @@ def _sample_increment(key, tail: _Tail, dt):
     return dw, dz, tail_acc, tail_rej
 
 
+class _TailStack(NamedTuple):
+    """RSwM3-class committed-segment stack (Rackauckas & Nie 2017; the
+    scheme StochasticDiffEq's adaptive solvers default to — the
+    reference's SOSRI path inherits it). Time-ordered segments ahead of
+    ``t``: slot 0 is nearest; ``h[j] == 0`` marks an empty slot and
+    empties always form a suffix (their w/z are zero so masked sums are
+    safe). Unlike the single-``_Tail`` collapse scheme, a rejection
+    inside a committed segment SPLITS it instead of discarding the
+    remainder, so every previously observed Brownian value stays
+    binding for the rest of the solve (up to the static depth K; on
+    overflow the two FARTHEST segments merge — the graceful degradation
+    back toward the collapse scheme, farthest-first because near
+    segments are the ones a shrinking dt will touch)."""
+
+    h: jnp.ndarray  # (K,)
+    w: Pytree  # leaves (K,) + leaf.shape
+    z: Pytree
+
+
+def _stack_zeros(y0: Pytree, depth: int, time_dtype) -> _TailStack:
+    zl = lambda l: jnp.zeros((depth,) + l.shape, l.dtype)
+    return _TailStack(
+        h=jnp.zeros((depth,), time_dtype),
+        w=jax.tree_util.tree_map(zl, y0),
+        z=jax.tree_util.tree_map(zl, y0),
+    )
+
+
+def _sample_increment_stack(key, st: _TailStack, dt):
+    """Draw (dW, dZ) over [t, t+dt] conditioned on ALL committed
+    segments. Consumes exactly one (xi_w, xi_z) pair — same RNG chain as
+    the collapse scheme — because at most one fresh value is ever
+    needed per trial step: the bridge point inside the (single) segment
+    containing t+dt, or the free extension beyond all segments.
+
+    Returns (dW, dZ, stack_if_accepted, stack_if_rejected).
+    """
+    kw, kz = jax.random.split(key)
+    take0 = lambda tree: jax.tree_util.tree_map(lambda l: l[0], tree)
+    # Drawn at LEAF shape with the same keys as the collapse scheme, so
+    # solves whose rejections never land inside a committed segment (the
+    # only case where the schemes differ) are bitwise identical.
+    xi_w0 = _normal_like(kw, take0(st.w))
+    xi_z0 = _normal_like(kz, take0(st.z))
+
+    K = st.h.shape[0]
+    h = st.h
+    tiny = jnp.asarray(1e-30, h.dtype)
+    ends = jnp.cumsum(h)
+    starts = ends - h
+    covered = ends[-1]
+    nonempty = h > 0
+
+    # coef[j]: fraction of segment j's increment inside [0, dt] —
+    # clip((dt - start)/len, 0, 1) is 1 for consumed, delta/L for the
+    # split segment, 0 beyond.
+    coef = jnp.clip((dt - starts) / jnp.maximum(h, tiny), 0.0, 1.0)
+    coef = jnp.where(nonempty, coef, 0.0)
+    is_split = nonempty & (starts < dt) & (dt < ends)
+    any_split = jnp.any(is_split)
+    # Split-segment geometry (zeros when no split).
+    delta = jnp.sum(jnp.where(is_split, dt - starts, 0.0))
+    L = jnp.sum(jnp.where(is_split, h, 0.0))
+    var_split = delta * jnp.maximum(L - delta, 0.0) / jnp.maximum(L, tiny)
+    var_ext = jnp.maximum(dt - covered, 0.0)
+    std = jnp.sqrt(jnp.where(any_split, var_split, var_ext))
+
+    def combine(seg_leaf, xi_leaf):
+        c = coef.reshape((K,) + (1,) * (seg_leaf.ndim - 1)).astype(
+            seg_leaf.dtype)
+        return jnp.sum(c * seg_leaf, axis=0) + std.astype(
+            seg_leaf.dtype) * xi_leaf
+
+    dw = jax.tree_util.tree_map(combine, st.w, xi_w0)
+    dz = jax.tree_util.tree_map(combine, st.z, xi_z0)
+
+    idx = jnp.arange(K)
+    n_full = jnp.sum((ends <= dt) & nonempty).astype(jnp.int32)
+    n_seg = jnp.sum(nonempty).astype(jnp.int32)
+    frac = delta / jnp.maximum(L, tiny)
+
+    # ---- accepted: consume [0, dt]; the split remainder becomes slot 0,
+    # untouched beyond-segments shift down by n_full.
+    def roll0(l, s):
+        return jnp.roll(l, -s, axis=0)
+
+    h_acc = roll0(h, n_full)
+    wrap = idx >= (K - n_full)  # rolled-around entries are dead
+    h_acc = jnp.where(wrap, 0.0, h_acc)
+    # slot 0 after the roll is the split segment (when one exists):
+    # replace by its remainder [dt, end).
+    at0 = idx == 0
+    h_acc = jnp.where(at0 & any_split, jnp.maximum(L - delta, 0.0), h_acc)
+
+    def acc_leaf(seg_leaf, xi0_leaf):
+        r = roll0(seg_leaf, n_full)
+        shp = (K,) + (1,) * (seg_leaf.ndim - 1)
+        dead = wrap.reshape(shp)
+        r = jnp.where(dead, 0.0, r)
+        # remainder of the split segment: (1-frac)*w - std*xi
+        rem = ((1.0 - frac).astype(seg_leaf.dtype) * r[0]
+               - std.astype(seg_leaf.dtype) * xi0_leaf)
+        sel0 = (at0 & any_split).reshape(shp)
+        return jnp.where(sel0, rem[None], r)
+
+    w_acc = jax.tree_util.tree_map(acc_leaf, st.w, xi_w0)
+    z_acc = jax.tree_util.tree_map(acc_leaf, st.z, xi_z0)
+    st_acc = _TailStack(h=h_acc.astype(h.dtype), w=w_acc, z=z_acc)
+
+    # ---- rejected: t does not advance; the freshly observed value is
+    # COMMITTED by refining the stack. Split case: segment j becomes
+    # ([start, dt] drawn part, [dt, end] remainder) — insert, shifting
+    # later slots up. Extension case: append ([covered, dt], std*xi).
+    # Overflow: pre-merge the two FARTHEST segments (they never contain
+    # the split point for K >= 2: the split segment lies before them).
+    need_merge = n_seg >= K
+    lastv = jnp.maximum(n_seg - 1, 0)
+    prevv = jnp.maximum(n_seg - 2, 0)
+    hm = h.at[prevv].add(h[lastv]).at[lastv].set(0.0)
+    merge_leaf = lambda l: l.at[prevv].add(l[lastv]).at[lastv].set(
+        jnp.zeros_like(l[lastv]))
+    pick = lambda a, b: jax.tree_util.tree_map(
+        lambda x, y: jnp.where(need_merge, x, y), a, b)
+    h_r = jnp.where(need_merge, hm, h)
+    w_r = pick(jax.tree_util.tree_map(merge_leaf, st.w), st.w)
+    z_r = pick(jax.tree_util.tree_map(merge_leaf, st.z), st.z)
+    n_seg_r = jnp.where(need_merge, n_seg - 1, n_seg)
+    # Geometry on the (possibly merged) stack. The merge preserves both
+    # the total covered horizon and every boundary before the two
+    # farthest slots, so the split segment and its offsets are intact.
+    ends_r = jnp.cumsum(h_r)
+    starts_r = ends_r - h_r
+    is_split_r = (h_r > 0) & (starts_r < dt) & (dt < ends_r)
+    j_ins = jnp.where(
+        any_split,
+        jnp.sum(jnp.where(is_split_r, idx, 0)).astype(jnp.int32),
+        n_seg_r.astype(jnp.int32),
+    )
+    d_r = jnp.where(
+        any_split,
+        dt - jnp.sum(jnp.where(is_split_r, starts_r, 0.0)),
+        dt - covered,
+    )
+    L_r = jnp.where(any_split, jnp.sum(jnp.where(is_split_r, h_r, 0.0)),
+                    dt - covered)
+    frac_r = jnp.where(any_split, d_r / jnp.maximum(L_r, tiny), 1.0)
+
+    src = jnp.where(idx <= j_ins, idx, idx - 1)
+    h_rej = h_r[src]
+    h_rej = jnp.where(idx == j_ins, jnp.maximum(d_r, 0.0), h_rej)
+    h_rej = jnp.where(idx == j_ins + 1,
+                      jnp.where(any_split,
+                                jnp.maximum(L_r - d_r, 0.0), 0.0), h_rej)
+
+    def rej_leaf(seg_leaf, xi0_leaf):
+        g = jnp.take(seg_leaf, src, axis=0)
+        shp = (K,) + (1,) * (seg_leaf.ndim - 1)
+        segj = jnp.sum(
+            jnp.where(is_split_r.reshape(shp), seg_leaf, 0.0), axis=0)
+        drawn = (jnp.where(any_split, frac_r, 0.0).astype(seg_leaf.dtype)
+                 * segj + std.astype(seg_leaf.dtype) * xi0_leaf)
+        rem = segj - drawn
+        g = jnp.where((idx == j_ins).reshape(shp), drawn[None], g)
+        g = jnp.where((idx == j_ins + 1).reshape(shp),
+                      jnp.where(any_split, rem[None],
+                                jnp.zeros_like(rem)[None]), g)
+        return g
+
+    w_rej = jax.tree_util.tree_map(rej_leaf, w_r, xi_w0)
+    z_rej = jax.tree_util.tree_map(rej_leaf, z_r, xi_z0)
+    st_rej = _TailStack(h=h_rej.astype(h.dtype), w=w_rej, z=z_rej)
+    return dw, dz, st_acc, st_rej
+
+
 def sdeint(
     drift: Callable[[Any, Pytree, Any], Pytree],
     diffusion: Callable[[Any, Pytree, Any], Pytree],
@@ -164,6 +338,8 @@ def sdeint(
     remat: bool = True,
     axis_name: Optional[str] = None,
     matmul_precision: Optional[str] = "highest",
+    brownian: str = "collapse",
+    brownian_depth: int = 8,
     _bwd_precision: Optional[str] = None,
 ) -> SDESolution:
     """Integrate ``dy = drift dt + diffusion dW`` (diagonal noise).
@@ -174,6 +350,17 @@ def sdeint(
     tiling the batch axis (reference: src/models/supervised_classification.jl:92).
     ``matmul_precision``: see ``odeint`` — keeps TPU bf16 matmul noise out
     of the embedded error estimate.
+
+    ``brownian``: rejection-bridge bookkeeping. ``"collapse"`` (default)
+    keeps ONE committed tail and discards the remainder on an
+    inside-tail rejection (an RSwM1-style simplification — a small
+    adaptivity-path bias when rejections nest). ``"stack"`` keeps a
+    depth-``brownian_depth`` segment stack (the RSwM3 scheme
+    StochasticDiffEq's adaptive solvers default to): every observed
+    Brownian value stays binding; supported in ``mode="scan"``/
+    ``"while"`` (scan differentiates through it; the custom-vjp adjoint
+    and the fused kernels keep the collapse scheme — their per-step
+    history stores one tail, not a stack).
     """
     if matmul_precision is not None:
         with jax.default_matmul_precision(matmul_precision):
@@ -182,8 +369,17 @@ def sdeint(
                 key=key, solver=solver, rtol=rtol, atol=atol, dt0=dt0,
                 max_steps=max_steps, saveat=saveat, controller=controller,
                 mode=mode, remat=remat, axis_name=axis_name,
-                matmul_precision=None, _bwd_precision=matmul_precision,
+                matmul_precision=None, brownian=brownian,
+                brownian_depth=brownian_depth,
+                _bwd_precision=matmul_precision,
             )
+    if brownian not in ("collapse", "stack"):
+        raise ValueError(
+            f"unknown brownian {brownian!r}; use 'collapse' or 'stack'")
+    if brownian == "stack" and mode == "adjoint":
+        raise ValueError(
+            "brownian='stack' supports mode='scan' or 'while'; the "
+            "adjoint engine's per-step history stores a single tail")
     time_dtype = jnp.result_type(jnp.asarray(t0).dtype, jnp.float32)
     t0 = jnp.asarray(t0, time_dtype)
     t1 = jnp.asarray(t1, time_dtype)
@@ -224,11 +420,16 @@ def sdeint(
     dt_init = jnp.asarray(dt0 if dt0 is not None else 0.01, time_dtype)
     dt_init = jnp.minimum(dt_init, span) if dt0 is None else dt_init
 
-    zeros_tail = _Tail(
-        h=jnp.zeros((), time_dtype),
-        w=jax.tree_util.tree_map(jnp.zeros_like, y0),
-        z=jax.tree_util.tree_map(jnp.zeros_like, y0),
-    )
+    if brownian == "stack":
+        zeros_tail = _stack_zeros(y0, brownian_depth, time_dtype)
+        sample_increment = _sample_increment_stack
+    else:
+        zeros_tail = _Tail(
+            h=jnp.zeros((), time_dtype),
+            w=jax.tree_util.tree_map(jnp.zeros_like, y0),
+            z=jax.tree_util.tree_map(jnp.zeros_like, y0),
+        )
+        sample_increment = _sample_increment
     init = _Carry(
         t=t0,
         dt=dt_init,
@@ -253,7 +454,8 @@ def sdeint(
             dt_eff = jnp.where(is_last, remaining, dt)
 
             key_next, sub = jax.random.split(carry.key)
-            dw, dz, tail_acc, tail_rej = _sample_increment(sub, carry.tail, dt_eff)
+            dw, dz, tail_acc, tail_rej = sample_increment(
+                sub, carry.tail, dt_eff)
 
             y_new, err, stage_info = sri_step(
                 tableau, drift, diffusion, args, t, y, dt_eff, dw, dz
