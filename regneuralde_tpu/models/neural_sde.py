@@ -102,12 +102,13 @@ class NeuralSDE:
         tspan: Optional[Tuple] = None,
         saveat: Optional[jnp.ndarray] = None,
         mode: str = "adjoint",
+        brownian: str = "collapse",
     ) -> NeuralSDEOutput:
         t0, t1 = tspan if tspan is not None else self.tspan
         saveat = saveat if saveat is not None else self.saveat
 
         if (self.fused and mode == "adjoint" and self.axis_name is None
-                and self.solver != "em"):
+                and self.solver != "em" and brownian == "collapse"):
             from regneuralde_tpu.ops.pallas_sde import (
                 vmem_estimate_sde,
                 whole_solve_sdeint,
@@ -159,6 +160,7 @@ class NeuralSDE:
             saveat=saveat,
             mode=mode,
             axis_name=self.axis_name,
+            brownian=brownian,
         )
         if saveat is not None:
             value = jnp.swapaxes(sol.ys, 0, 1)  # (batch, time, feat)
