@@ -126,6 +126,28 @@ class TestWholeSolve:
         assert all(np.isfinite(np.asarray(x)).all()
                    for x in jax.tree_util.tree_leaves(g))
 
+    def test_starved_solve_with_saveat(self):
+        """Partial save-cursor consumption: the failed solve only reaches
+        some of the save grid — reached rows match the scan engine,
+        unreached rows stay at their seeds, and gradients through the
+        partial ys are finite and match scan (the backward's [cur0, curf)
+        consumed range is a strict subset of the grid here)."""
+        _, y, p, f, apply_fn, flatten = _setup()
+        kw = dict(rtol=1e-8, atol=1e-8, max_steps=4, saveat=SA)
+        s = whole_solve_odeint(f, apply_fn, flatten, y, 0.0, 1.0, p, **kw)
+        r = odeint(f, y, 0.0, 1.0, p, mode="scan", **kw)
+        assert not bool(s.stats.success)
+        np.testing.assert_allclose(np.asarray(s.ys), np.asarray(r.ys),
+                                   rtol=1e-4, atol=1e-6)
+        gx = jax.grad(lambda p: jnp.sum(whole_solve_odeint(
+            f, apply_fn, flatten, y, 0.0, 1.0, p, **kw).ys ** 2))(p)
+        gr = jax.grad(lambda p: jnp.sum(odeint(
+            f, y, 0.0, 1.0, p, mode="scan", **kw).ys ** 2))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(gx),
+                        jax.tree_util.tree_leaves(gr)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+
 
 class TestTiledWholeSolve:
     """The batch-tiled whole-solve (VMEM-scratch carry, per-tile stage
