@@ -63,6 +63,7 @@ class NeuralODE:
         saveat: Optional[jnp.ndarray] = None,
         axis_name: Optional[str] = None,
         fused: bool = False,
+        per_sample: bool = False,
     ):
         self.dynamics = dynamics
         self.tspan = tspan
@@ -73,6 +74,21 @@ class NeuralODE:
         self.max_steps = max_steps
         self.saveat = saveat
         self.axis_name = axis_name
+        # Per-sample adaptive stepping (torchode-style): every batch
+        # element gets its own PI controller and NFE count instead of the
+        # reference's one-global-error-norm semantics (see
+        # ops.per_sample). ``nfe`` becomes a (batch,) vector and telemetry
+        # streams gain a leading batch axis; the reg reductions accept
+        # both. Incompatible with fused kernels (their batch tiling
+        # assumes one shared controller); axis_name needs no step sync in
+        # this mode (each sample is independent), so it is simply not
+        # threaded into the solve.
+        self.per_sample = per_sample
+        if per_sample and fused:
+            raise ValueError(
+                "per_sample adaptive stepping is incompatible with fused "
+                "kernels — construct with fused=False"
+            )
         # Fused Pallas execution. Two granularities exist:
         #   "step"  — one kernel per trial step (the whole Tsit5 stage
         #             sweep VMEM-resident per batch tile; composes with
@@ -161,6 +177,21 @@ class NeuralODE:
     ) -> NeuralDEOutput:
         t0, t1 = tspan if tspan is not None else self.tspan
         saveat = saveat if saveat is not None else self.saveat
+
+        if self.per_sample:
+            from regneuralde_tpu.ops import odeint_per_sample
+
+            sol = odeint_per_sample(
+                self._func, x, t0, t1, params,
+                solver=self.solver, rtol=self.rtol, atol=self.atol,
+                max_steps=self.max_steps, saveat=saveat, mode=mode,
+            )
+            value = (jnp.swapaxes(sol.ys, 0, 1)
+                     if saveat is not None else sol.y1)
+            return NeuralDEOutput(
+                value=value, nfe=sol.stats.nfe,
+                telemetry=sol.telemetry, solution=sol,
+            )
 
         if self.fused and mode == "adjoint" and self.axis_name is None:
             from regneuralde_tpu.ops.pallas_solve import (

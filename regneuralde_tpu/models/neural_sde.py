@@ -53,6 +53,7 @@ class NeuralSDE:
         saveat: Optional[jnp.ndarray] = None,
         axis_name: Optional[str] = None,
         fused: bool = False,
+        per_sample: bool = False,
     ):
         self.drift = drift
         self.diffusion = diffusion
@@ -72,6 +73,18 @@ class NeuralSDE:
         if fused not in (False, True, "solve"):
             raise ValueError("fused must be False, True or 'solve'")
         self.fused = fused
+        # Per-sample adaptive stepping: each batch element (each MC
+        # trajectory, after the classifier fan-out) gets its own
+        # controller AND its own independently-bridged Brownian path —
+        # see ops.per_sample.sdeint_per_sample. nfe1/nfe2 become (batch,)
+        # vectors. Incompatible with fused kernels; axis_name needs no
+        # step sync in this mode and is not threaded into the solve.
+        self.per_sample = per_sample
+        if per_sample and fused:
+            raise ValueError(
+                "per_sample adaptive stepping is incompatible with fused "
+                "kernels — construct with fused=False"
+            )
 
     def init(self, key: jax.Array, x: jnp.ndarray) -> Any:
         k1, k2 = jax.random.split(key)
@@ -106,6 +119,22 @@ class NeuralSDE:
     ) -> NeuralSDEOutput:
         t0, t1 = tspan if tspan is not None else self.tspan
         saveat = saveat if saveat is not None else self.saveat
+
+        if self.per_sample:
+            from regneuralde_tpu.ops import sdeint_per_sample
+
+            sol = sdeint_per_sample(
+                self._drift, self._diffusion, x, t0, t1, params,
+                key=key, solver=self.solver, rtol=self.rtol,
+                atol=self.atol, max_steps=self.max_steps, saveat=saveat,
+                mode=mode, brownian=brownian,
+            )
+            value = (jnp.swapaxes(sol.ys, 0, 1)
+                     if saveat is not None else sol.y1)
+            return NeuralSDEOutput(
+                value=value, nfe1=sol.stats.nfe1, nfe2=sol.stats.nfe2,
+                telemetry=sol.telemetry, solution=sol,
+            )
 
         if (self.fused and mode == "adjoint" and self.axis_name is None
                 and self.solver != "em" and brownian == "collapse"):

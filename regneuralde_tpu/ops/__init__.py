@@ -3,6 +3,7 @@
 from regneuralde_tpu.ops.controller import PIController, initial_step_size
 from regneuralde_tpu.ops.norms import hairer_norm, norm_batched
 from regneuralde_tpu.ops.ode import ODESolution, ODEStats, StepTelemetry, odeint
+from regneuralde_tpu.ops.per_sample import odeint_per_sample, sdeint_per_sample
 from regneuralde_tpu.ops.rosenbrock import ROSENBROCK23, make_rosenbrock23_sweep
 from regneuralde_tpu.ops.tableaus import BOSH3, TSIT5, get_tableau
 
@@ -10,6 +11,8 @@ __all__ = [
     "ROSENBROCK23",
     "make_rosenbrock23_sweep",
     "odeint",
+    "odeint_per_sample",
+    "sdeint_per_sample",
     "ODESolution",
     "ODEStats",
     "StepTelemetry",

@@ -144,7 +144,12 @@ def make_sde_whole_solve(
         frac = jnp.where(inside, dt_eff / safe_h, 1.0)
         var = jnp.where(inside, dt_eff * (h - dt_eff) / safe_h,
                         jnp.maximum(dt_eff - h, 0.0))
-        std = jnp.sqrt(jnp.maximum(var, 0.0))
+        # Zero-guarded sqrt, matching ops.sde._sample_increment: var hits
+        # exactly 0 when the step consumes the tail exactly, and
+        # sqrt'(0) = inf would poison the traced-vjp backward.
+        var = jnp.maximum(var, 0.0)
+        std = jnp.where(var > 0, jnp.sqrt(jnp.where(var > 0, var, 1.0)),
+                        0.0)
         dw = frac * tail_w + std * xi_w
         dz = frac * tail_z + std * xi_z
         rem_w = jnp.where(inside, tail_w - dw, jnp.zeros_like(dw))

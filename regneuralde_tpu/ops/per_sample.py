@@ -1,0 +1,218 @@
+"""Per-sample adaptive stepping (torchode-style), as one XLA program.
+
+The reference — and this package's default — treats the whole minibatch as
+ONE ODE state with a single global error norm (reference:
+src/models/neural_ode.jl:62 solves the batched state through one
+integrator), so one hard sample forces small steps on everyone and the
+solve reports one NFE for the batch. Per-sample mode instead gives every
+batch element its own PI controller: its own error norm, dt sequence,
+accept/reject decisions, telemetry rows, and NFE count.
+
+TPU mapping: the solve is ``jax.vmap`` of the single-sample solve. Under
+vmap,
+
+* ``lax.scan`` (mode="scan") stays one bounded loop over ``max_steps``
+  with per-lane live masks, and
+* ``lax.while_loop`` (mode="while" and the custom-vjp "adjoint" engine)
+  becomes a batch-synchronized masked loop: XLA iterates while ANY lane is
+  unfinished and masks out finished lanes.
+
+Either way the whole batch advances in lockstep iterations of fully
+batched stage sweeps (the dynamics still sees MXU-shaped work every
+iteration), so this stays compiler-friendly: no dynamic shapes, no
+per-sample Python loops. Wall-clock per solve is set by the slowest
+sample; the win over global control is *accounting and accuracy* — easy
+samples take few, large steps (their per-sample NFE is honest, not
+inflated by the batch's worst case) and each sample is integrated exactly
+to its own tolerance instead of to a batch-RMS compromise.
+
+Each vmap lane carries a singleton batch axis (leaves ``(1, ...)`` per
+lane), so batched dynamics modules — which expect ``(batch, features)``
+inputs and broadcast the scalar solve time to a row (models.basic._t_row)
+— run unchanged.
+
+Not supported here (both are global-batch concepts): ``axis_name`` step
+synchronization (per-sample control is already shard-local — under data
+parallelism simply shard the batch; no cross-device step sync is needed
+or wanted) and fused ``stage_sweep`` kernels (their batch tiling assumes
+one shared controller).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from regneuralde_tpu.ops.ode import ODESolution, odeint
+
+Pytree = Any
+
+__all__ = ["odeint_per_sample", "sdeint_per_sample"]
+
+
+def _check_batch(y0) -> int:
+    leaves = jax.tree_util.tree_leaves(y0)
+    if not leaves:
+        raise ValueError("y0 has no array leaves")
+    batch = leaves[0].shape[0] if leaves[0].ndim else None
+    if batch is None or any(
+        l.ndim == 0 or l.shape[0] != batch for l in leaves
+    ):
+        raise ValueError(
+            "per-sample mode needs every y0 leaf to carry the sample axis "
+            f"first; got shapes {[l.shape for l in leaves]}"
+        )
+    return batch
+
+
+def _check_tspan(name, arr, batch):
+    if arr.ndim not in (0, 1) or (arr.ndim == 1 and arr.shape[0] != batch):
+        raise ValueError(
+            f"{name} must be a scalar or a ({batch},) per-sample array;"
+            f" got shape {arr.shape}"
+        )
+
+
+def _reject_global_kwargs(kwargs):
+    for key in ("axis_name", "stage_sweep", "stage_sweep_bwd"):
+        if kwargs.get(key) is not None:
+            raise ValueError(
+                f"per-sample solves do not accept {key!r}: per-sample "
+                "step control is shard-local by construction and fused "
+                "sweeps assume one shared controller"
+            )
+        kwargs.pop(key, None)
+
+
+def odeint_per_sample(
+    func: Callable[[Any, Pytree, Any], Pytree],
+    y0: Pytree,
+    t0,
+    t1,
+    args: Any = None,
+    **kwargs,
+) -> ODESolution:
+    """Integrate every batch element under its own adaptive controller.
+
+    Args:
+      func: batched dynamics ``f(t, y, args) -> dy`` — the same callable
+        ``odeint`` takes; each vmap lane calls it on a batch of one.
+      y0: pytree whose leaves all carry the sample axis first,
+        ``(batch, ...)``.
+      t0, t1: scalars, or ``(batch,)`` arrays for per-sample time spans
+        (e.g. per-sample STEER jitter of ``t1`` — the reference jitters
+        one shared ``t1`` per minibatch, experiments/mnist_node.jl:133).
+      args: shared across samples (model parameters).
+      **kwargs: forwarded to :func:`odeint` (solver, rtol/atol, dt0,
+        max_steps, saveat, controller, mode, remat). ``axis_name`` /
+        ``stage_sweep`` / ``stage_sweep_bwd`` are rejected (see module
+        docstring).
+
+    Returns:
+      An :class:`ODESolution` whose array conventions match the batched
+      solve — ``y1`` leaves ``(batch, ...)``, ``ys`` leaves
+      ``(len(saveat), batch, ...)`` — but whose ``stats`` fields are
+      per-sample ``(batch,)`` vectors (``stats.nfe[i]`` is sample *i*'s
+      honest evaluation count; compare reference src/models/neural_ode.jl:72
+      where ``destats.nf`` is one number for the whole batch) and whose
+      ``telemetry`` streams are ``(batch, max_steps)``. The ``reg``
+      reductions accept these unchanged (masked over both axes).
+    """
+    _reject_global_kwargs(kwargs)
+    batch = _check_batch(y0)
+
+    # Each lane keeps a singleton batch axis so batched dynamics modules
+    # (which concatenate time rows, run (batch, feat) matmuls, ...) work
+    # without a per-sample variant.
+    y0_lanes = jax.tree_util.tree_map(lambda l: l[:, None], y0)
+
+    t0a = jnp.asarray(t0)
+    t1a = jnp.asarray(t1)
+    _check_tspan("t0", t0a, batch)
+    _check_tspan("t1", t1a, batch)
+
+    def solve_one(y0_one, t0_one, t1_one):
+        return odeint(func, y0_one, t0_one, t1_one, args, **kwargs)
+
+    sol = jax.vmap(
+        solve_one,
+        in_axes=(0, 0 if t0a.ndim else None, 0 if t1a.ndim else None),
+    )(y0_lanes, t0a, t1a)
+
+    y1 = jax.tree_util.tree_map(lambda l: jnp.squeeze(l, 1), sol.y1)
+    ys = None
+    ts = None
+    if sol.ys is not None:
+        # lane ys: (n_save, 1, ...) -> stacked (batch, n_save, 1, ...)
+        # -> the batched convention (n_save, batch, ...).
+        ys = jax.tree_util.tree_map(
+            lambda l: jnp.moveaxis(jnp.squeeze(l, 2), 0, 1), sol.ys
+        )
+        ts = sol.ts[0]  # saveat is shared; vmap stacked it
+    return ODESolution(y1=y1, ys=ys, ts=ts, stats=sol.stats,
+                       telemetry=sol.telemetry)
+
+
+def sdeint_per_sample(
+    drift: Callable[[Any, Pytree, Any], Pytree],
+    diffusion: Callable[[Any, Pytree, Any], Pytree],
+    y0: Pytree,
+    t0,
+    t1,
+    args: Any = None,
+    *,
+    key: jax.Array,
+    **kwargs,
+) -> "SDESolution":
+    """Per-sample adaptive SDE stepping (see :func:`odeint_per_sample`).
+
+    Every batch element gets its own PI controller, error norm,
+    accept/reject sequence, AND its own independent Brownian path — the
+    rejection bridge (tail collapse or the RSwM3 segment stack) operates
+    per sample, so one sample's rejection never perturbs another sample's
+    Wiener increments. This matters most for Monte-Carlo trajectory
+    fan-out (the reference tiles the batch ``trajectories×``,
+    src/models/supervised_classification.jl:92): under global control one
+    unlucky trajectory forces small steps on the whole fan-out; here each
+    trajectory steps at its own pace.
+
+    ``key`` is split once per sample; lane *i* reproduces
+    ``sdeint(..., key=jax.random.split(key, batch)[i])`` on that sample
+    alone, draw for draw. ``stats`` fields are per-sample ``(batch,)``
+    vectors; ``telemetry`` streams are ``(batch, max_steps)``.
+    """
+    # Imported lazily: ops/__init__ keeps the SDE core optional for
+    # ODE-only consumers (see the import-order note there).
+    from regneuralde_tpu.ops.sde import SDESolution, sdeint
+
+    _reject_global_kwargs(kwargs)
+    batch = _check_batch(y0)
+
+    y0_lanes = jax.tree_util.tree_map(lambda l: l[:, None], y0)
+    t0a = jnp.asarray(t0)
+    t1a = jnp.asarray(t1)
+    _check_tspan("t0", t0a, batch)
+    _check_tspan("t1", t1a, batch)
+    keys = jax.random.split(key, batch)
+
+    def solve_one(y0_one, t0_one, t1_one, key_one):
+        return sdeint(drift, diffusion, y0_one, t0_one, t1_one, args,
+                      key=key_one, **kwargs)
+
+    sol = jax.vmap(
+        solve_one,
+        in_axes=(0, 0 if t0a.ndim else None, 0 if t1a.ndim else None, 0),
+    )(y0_lanes, t0a, t1a, keys)
+
+    y1 = jax.tree_util.tree_map(lambda l: jnp.squeeze(l, 1), sol.y1)
+    ys = None
+    ts = None
+    if sol.ys is not None:
+        ys = jax.tree_util.tree_map(
+            lambda l: jnp.moveaxis(jnp.squeeze(l, 2), 0, 1), sol.ys
+        )
+        ts = sol.ts[0]
+    return SDESolution(y1=y1, ys=ys, ts=ts, stats=sol.stats,
+                       telemetry=sol.telemetry)

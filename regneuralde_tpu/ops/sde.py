@@ -125,7 +125,13 @@ def _sample_increment(key, tail: _Tail, dt):
     inside = dt < h
     frac = jnp.where(inside, dt / safe_h, 1.0)
     var = jnp.where(inside, dt * (h - dt) / safe_h, jnp.maximum(dt - h, 0.0))
-    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    # Zero-guarded sqrt (sqrt'(0) = inf poisons the backward): var hits
+    # exactly 0 when a step consumes the committed tail exactly — e.g. a
+    # rejected is_last trial leaves a tail reaching t1, and the accepted
+    # retry's final step spans the remainder (dt == h). Same double-where
+    # pattern as ops.ode._normed_scalars.
+    var = jnp.maximum(var, 0.0)
+    std = jnp.where(var > 0, jnp.sqrt(jnp.where(var > 0, var, 1.0)), 0.0)
 
     def draw(tail_leaf, xi_leaf):
         return frac * tail_leaf + std * xi_leaf
@@ -209,7 +215,12 @@ def _sample_increment_stack(key, st: _TailStack, dt):
     L = jnp.sum(jnp.where(is_split, h, 0.0))
     var_split = delta * jnp.maximum(L - delta, 0.0) / jnp.maximum(L, tiny)
     var_ext = jnp.maximum(dt - covered, 0.0)
-    std = jnp.sqrt(jnp.where(any_split, var_split, var_ext))
+    # Zero-guarded sqrt — see _sample_increment: var is exactly 0 when a
+    # step lands exactly on a segment boundary (var_ext == 0 with
+    # dt == covered, or a degenerate split), and sqrt'(0) = inf would
+    # poison the backward through the controller's dt chain.
+    var = jnp.where(any_split, var_split, var_ext)
+    std = jnp.where(var > 0, jnp.sqrt(jnp.where(var > 0, var, 1.0)), 0.0)
 
     def combine(seg_leaf, xi_leaf):
         c = coef.reshape((K,) + (1,) * (seg_leaf.ndim - 1)).astype(

@@ -40,6 +40,7 @@ __all__ = [
     "exp_decay_schedule",
     "kl_anneal_schedule",
     "steer_tspan",
+    "steer_tspan_per_sample",
     "steer_saveat",
 ]
 
@@ -153,6 +154,24 @@ def steer_tspan(key: jax.Array, t0: float = 0.0, t1: float = 1.0, b: float = 0.5
     (``1 - (2 rand - 1) * b``).
     """
     u = jax.random.uniform(key, (), minval=-b, maxval=b)
+    return jnp.asarray(t0, jnp.float32), jnp.asarray(t1, jnp.float32) + u
+
+
+def steer_tspan_per_sample(
+    key: jax.Array, batch: int, t0: float = 0.0, t1: float = 1.0,
+    b: float = 0.5,
+):
+    """STEER with an independent end-time draw per sample,
+    ``t1_i ~ U(t1 - b, t1 + b)``.
+
+    The reference draws ONE shared ``t1`` per minibatch
+    (experiments/mnist_node.jl:104-105) because its solver integrates the
+    batch as one state; per-sample adaptive stepping
+    (ops.odeint_per_sample / NeuralODE(per_sample=True)) accepts a
+    ``(batch,)`` ``t1``, making the per-sample form of the STEER
+    regularizer expressible. Returns ``(t0_scalar, t1_(batch,))``.
+    """
+    u = jax.random.uniform(key, (batch,), minval=-b, maxval=b)
     return jnp.asarray(t0, jnp.float32), jnp.asarray(t1, jnp.float32) + u
 
 

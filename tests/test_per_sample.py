@@ -1,0 +1,263 @@
+"""Per-sample adaptive stepping (ops.per_sample / NeuralODE(per_sample=True)).
+
+The contract under test: each batch element is integrated under its OWN
+PI controller — bitwise-identical to solving that sample alone — while the
+whole batch remains one XLA program (vmap of the single-sample solve; the
+default engines' global-error-norm semantics mirror the reference,
+src/models/neural_ode.jl:62, and per-sample mode is the strictly-additive
+torchode-style alternative from the build plan)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from regneuralde_tpu import reg
+from regneuralde_tpu.models import MLPDynamics, NeuralODE, NeuralSDE
+from regneuralde_tpu.ops import (
+    odeint,
+    odeint_per_sample,
+    sdeint,
+    sdeint_per_sample,
+)
+
+
+def oscillator(t, y, args):
+    """Harmonic oscillator with per-sample frequency carried in the state:
+    y = (pos, vel, omega), omega' = 0 — heterogeneous difficulty in one
+    batched dynamics function."""
+    pos, vel, om = y[..., 0], y[..., 1], y[..., 2]
+    return jnp.stack([vel, -(om ** 2) * pos, jnp.zeros_like(om)], -1)
+
+
+OMEGAS = jnp.array([1.0, 3.0, 20.0])
+Y0 = jnp.stack([jnp.ones(3), jnp.zeros(3), OMEGAS], -1)  # (3 samples, 3)
+KW = dict(rtol=1e-6, atol=1e-6, max_steps=512)
+
+
+class TestSolver:
+    def test_matches_independent_solves_bitwise(self):
+        sol = odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="scan", **KW)
+        assert bool(sol.stats.success.all())
+        for i in range(Y0.shape[0]):
+            si = odeint(oscillator, Y0[i : i + 1], 0.0, 1.0,
+                        mode="scan", **KW)
+            np.testing.assert_array_equal(
+                np.asarray(sol.y1[i]), np.asarray(si.y1[0]))
+            assert int(sol.stats.nfe[i]) == int(si.stats.nfe)
+            assert int(sol.stats.naccept[i]) == int(si.stats.naccept)
+            assert int(sol.stats.nreject[i]) == int(si.stats.nreject)
+
+    def test_engines_agree(self):
+        s = odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="scan", **KW)
+        w = odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="while", **KW)
+        a = odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="adjoint", **KW)
+        np.testing.assert_array_equal(np.asarray(s.y1), np.asarray(w.y1))
+        np.testing.assert_array_equal(
+            np.asarray(s.stats.nfe), np.asarray(w.stats.nfe))
+        np.testing.assert_allclose(
+            np.asarray(s.y1), np.asarray(a.y1), rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(
+            np.asarray(s.stats.nfe), np.asarray(a.stats.nfe))
+
+    def test_easy_samples_keep_cheap_nfe(self):
+        """The mode's point: per-sample NFE is honest. Easy samples cost a
+        fraction of the batch's worst case, while the global-norm batched
+        solve charges everyone roughly the hard sample's rate."""
+        ps = odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="scan", **KW)
+        gl = odeint(oscillator, Y0, 0.0, 1.0, mode="scan", **KW)
+        nfe = np.asarray(ps.stats.nfe)
+        assert nfe[0] < nfe[2] / 3  # omega=1 vs omega=20
+        # global control is dominated by the stiffest sample
+        assert int(gl.stats.nfe) > 2 * nfe[0]
+
+    def test_telemetry_and_reg_shapes(self):
+        sol = odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="scan", **KW)
+        B, S = Y0.shape[0], KW["max_steps"]
+        assert sol.telemetry.eest.shape == (B, S)
+        assert sol.telemetry.accepted.shape == (B, S)
+        r = reg.error_estimate(sol.telemetry, agg="mean")
+        assert r.shape == () and bool(jnp.isfinite(r)) and float(r) >= 0
+
+    def test_saveat_matches_independent(self):
+        sa = jnp.linspace(0.0, 1.0, 7)
+        sol = odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="scan",
+                                saveat=sa, **KW)
+        assert sol.ys.shape == (7, Y0.shape[0], 3)
+        np.testing.assert_array_equal(np.asarray(sol.ts), np.asarray(sa))
+        for i in range(Y0.shape[0]):
+            si = odeint(oscillator, Y0[i : i + 1], 0.0, 1.0, mode="scan",
+                        saveat=sa, **KW)
+            np.testing.assert_array_equal(
+                np.asarray(sol.ys[:, i]), np.asarray(si.ys[:, 0]))
+
+    def test_per_sample_tspan(self):
+        """Per-sample t1 (e.g. per-sample STEER jitter; the reference
+        jitters one shared t1 per minibatch, experiments/mnist_node.jl:133)."""
+        t1s = jnp.array([0.5, 1.0, 1.5])
+        sol = odeint_per_sample(oscillator, Y0, 0.0, t1s, mode="scan", **KW)
+        for i in range(Y0.shape[0]):
+            si = odeint(oscillator, Y0[i : i + 1], 0.0, float(t1s[i]),
+                        mode="scan", **KW)
+            np.testing.assert_allclose(
+                np.asarray(sol.y1[i]), np.asarray(si.y1[0]),
+                rtol=1e-6, atol=1e-7)
+
+    def test_gradients_match_independent_and_adjoint(self):
+        def loss_ps(y0, mode):
+            sol = odeint_per_sample(oscillator, y0, 0.0, 1.0,
+                                    mode=mode, **KW)
+            return jnp.sum(sol.y1[:, 0] ** 2)
+
+        g_scan = jax.grad(lambda y: loss_ps(y, "scan"))(Y0)
+        g_adj = jax.grad(lambda y: loss_ps(y, "adjoint"))(Y0)
+        np.testing.assert_allclose(
+            np.asarray(g_scan), np.asarray(g_adj), rtol=1e-4, atol=1e-6)
+        # row i of the batched gradient == the lone-sample gradient
+        for i in range(Y0.shape[0]):
+            gi = jax.grad(
+                lambda y: jnp.sum(
+                    odeint(oscillator, y, 0.0, 1.0, mode="scan", **KW)
+                    .y1[:, 0] ** 2
+                )
+            )(Y0[i : i + 1])
+            np.testing.assert_allclose(
+                np.asarray(g_scan[i]), np.asarray(gi[0]),
+                rtol=1e-5, atol=1e-7)
+
+    def test_rejects_global_batch_kwargs(self):
+        with pytest.raises(ValueError, match="axis_name"):
+            odeint_per_sample(oscillator, Y0, 0.0, 1.0,
+                              axis_name="dp", **KW)
+        with pytest.raises(ValueError, match="sample axis"):
+            odeint_per_sample(oscillator, jnp.zeros(()), 0.0, 1.0, **KW)
+
+
+class TestModelLayer:
+    def test_neural_ode_per_sample(self):
+        dyn = MLPDynamics(dim=6, hidden=8)
+        node = NeuralODE(dyn, time_dep=True, rtol=1e-5, atol=1e-5,
+                         max_steps=128, per_sample=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 6)) * 0.3
+        p = node.init(jax.random.PRNGKey(1), x)
+        out = node(p, x)
+        assert out.value.shape == (4, 6)
+        assert out.nfe.shape == (4,)
+        assert bool(out.solution.stats.success.all())
+        # matches the global-batch solve loosely (same dynamics, both
+        # within tolerance of the true flow) but with per-sample control
+        ref = NeuralODE(dyn, time_dep=True, rtol=1e-5, atol=1e-5,
+                        max_steps=128)(p, x)
+        np.testing.assert_allclose(
+            np.asarray(out.value), np.asarray(ref.value),
+            rtol=1e-3, atol=1e-4)
+        # regularizers consume the (batch, steps) telemetry unchanged
+        r = reg.error_estimate(out.telemetry, agg="mean")
+        assert bool(jnp.isfinite(r))
+        # and gradients flow end to end
+        g = jax.grad(
+            lambda pp: jnp.sum(node(pp, x).value ** 2)
+            + 0.1 * reg.error_estimate(node(pp, x).telemetry, agg="mean")
+        )(p)
+        assert all(
+            bool(jnp.all(jnp.isfinite(l)))
+            for l in jax.tree_util.tree_leaves(g)
+        )
+
+    def test_saveat_trajectory_shape(self):
+        dyn = MLPDynamics(dim=4, hidden=8)
+        sa = jnp.linspace(0.0, 1.0, 5)
+        node = NeuralODE(dyn, time_dep=True, rtol=1e-5, atol=1e-5,
+                         max_steps=128, saveat=sa, per_sample=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 4)) * 0.3
+        p = node.init(jax.random.PRNGKey(1), x)
+        out = node(p, x)
+        assert out.value.shape == (3, 5, 4)
+
+    def test_fused_incompatible(self):
+        with pytest.raises(ValueError, match="per_sample"):
+            NeuralODE(MLPDynamics(dim=8, hidden=8), fused=True,
+                      per_sample=True)
+
+
+def sde_drift(t, y, args):
+    return -0.5 * y
+
+
+def sde_diffusion(t, y, args):
+    return 0.2 * jnp.ones_like(y)
+
+
+SDE_Y0 = jnp.stack([jnp.ones(2), 2 * jnp.ones(2), -jnp.ones(2)])
+SDE_KEY = jax.random.PRNGKey(7)
+SDE_KW = dict(rtol=1e-2, atol=1e-2, max_steps=128)
+
+
+class TestSDE:
+    def test_matches_independent_solves_draw_for_draw(self):
+        sol = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                                key=SDE_KEY, mode="scan", **SDE_KW)
+        assert bool(sol.stats.success.all())
+        keys = jax.random.split(SDE_KEY, SDE_Y0.shape[0])
+        for i in range(SDE_Y0.shape[0]):
+            si = sdeint(sde_drift, sde_diffusion, SDE_Y0[i : i + 1],
+                        0.0, 1.0, key=keys[i], mode="scan", **SDE_KW)
+            np.testing.assert_array_equal(
+                np.asarray(sol.y1[i]), np.asarray(si.y1[0]))
+            assert int(sol.stats.nfe1[i]) == int(si.stats.nfe1)
+            assert int(sol.stats.nfe2[i]) == int(si.stats.nfe2)
+
+    def test_engines_and_brownian_stack(self):
+        s = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                              key=SDE_KEY, mode="scan", **SDE_KW)
+        w = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                              key=SDE_KEY, mode="while", **SDE_KW)
+        a = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                              key=SDE_KEY, mode="adjoint", **SDE_KW)
+        st = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                               key=SDE_KEY, mode="scan",
+                               brownian="stack", **SDE_KW)
+        np.testing.assert_array_equal(np.asarray(s.y1), np.asarray(w.y1))
+        np.testing.assert_allclose(
+            np.asarray(s.y1), np.asarray(a.y1), rtol=1e-5, atol=1e-6)
+        assert bool(st.stats.success.all())
+
+    def test_gradients_adjoint_matches_scan(self):
+        """This batch is a regression pin: sample 1's solve rejects an
+        is_last trial step, so the accepted retry consumes the committed
+        Brownian tail EXACTLY (dt == h) — the case whose unguarded
+        sqrt(0) backward used to poison gradients with NaN."""
+
+        def loss(y, mode):
+            sol = sdeint_per_sample(sde_drift, sde_diffusion, y, 0.0, 1.0,
+                                    key=SDE_KEY, mode=mode, **SDE_KW)
+            return jnp.sum(sol.y1 ** 2)
+
+        gs = jax.grad(lambda y: loss(y, "scan"))(SDE_Y0)
+        ga = jax.grad(lambda y: loss(y, "adjoint"))(SDE_Y0)
+        assert bool(jnp.all(jnp.isfinite(gs)))
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(ga), rtol=1e-4, atol=1e-6)
+
+    def test_neural_sde_per_sample(self):
+        class Drift(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Dense(x.shape[-1])(jnp.tanh(x))
+
+        class Diffusion(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return 0.1 * jnp.tanh(nn.Dense(x.shape[-1])(x))
+
+        model = NeuralSDE(Drift(), Diffusion(), rtol=1.4e-1, atol=1.4e-1,
+                          max_steps=64, per_sample=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 3)) * 0.5
+        p = model.init(jax.random.PRNGKey(1), x)
+        out = model(p, x, jax.random.PRNGKey(2))
+        assert out.value.shape == (4, 3)
+        assert out.nfe1.shape == (4,)
+        assert bool(out.solution.stats.success.all())
+        with pytest.raises(ValueError, match="per_sample"):
+            NeuralSDE(Drift(), Diffusion(), fused=True, per_sample=True)

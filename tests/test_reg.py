@@ -73,6 +73,15 @@ class TestSteer:
         assert t1s.min() >= 0.5 - 1e-6 and t1s.max() <= 1.5 + 1e-6
         assert t1s.std() > 0.1
 
+    def test_steer_tspan_per_sample(self):
+        t0, t1s = reg.steer_tspan_per_sample(
+            jax.random.PRNGKey(0), batch=64, b=0.5)
+        t1s = np.asarray(t1s)
+        assert t1s.shape == (64,)
+        assert float(t0) == 0.0
+        assert t1s.min() >= 0.5 - 1e-6 and t1s.max() <= 1.5 + 1e-6
+        assert t1s.std() > 0.1  # independent draws, not one shared value
+
     def test_steer_saveat_keeps_first_and_bounds(self):
         ts = jnp.linspace(0.0, 1.0, 9)
         out = reg.steer_saveat(jax.random.PRNGKey(1), ts)

@@ -158,3 +158,49 @@ class TestStrongConvergence:
         err_em = abs(float(jnp.mean(em.y1)) - m_exact)
         err_hi = abs(float(jnp.mean(hi.y1)) - m_exact)
         assert err_hi < err_em
+
+
+class TestBridgeGradientGuards:
+    """sqrt'(0) = inf must never reach the backward through the Brownian
+    bridge. The bridge variance is EXACTLY zero whenever a step consumes
+    the committed tail exactly (dt == h) — e.g. a rejected is_last trial
+    leaves a tail reaching t1 and the accepted retry's final step spans
+    the remainder. Regression for a NaN that poisoned whole-batch
+    gradients in both the scan and adjoint engines."""
+
+    def test_sample_increment_grad_at_exact_consumption(self):
+        from regneuralde_tpu.ops.sde import _Tail, _sample_increment
+
+        key = jax.random.PRNGKey(0)
+        tail = _Tail(h=jnp.asarray(0.3, jnp.float32),
+                     w=0.1 * jnp.ones(2), z=0.05 * jnp.ones(2))
+
+        def f(dt):
+            dw, dz, _, _ = _sample_increment(key, tail, dt)
+            return jnp.sum(dw ** 2 + dz ** 2)
+
+        for dt in (0.3, 0.15, 0.5):  # exact, inside, beyond
+            g = jax.grad(f)(jnp.asarray(dt, jnp.float32))
+            assert bool(jnp.isfinite(g)), f"dt={dt}"
+
+    def test_stack_increment_grad_at_segment_boundary(self):
+        from regneuralde_tpu.ops.sde import (
+            _sample_increment_stack,
+            _stack_zeros,
+        )
+
+        key = jax.random.PRNGKey(1)
+        st = _stack_zeros(jnp.ones(2), depth=4, time_dtype=jnp.float32)
+        st = st._replace(
+            h=st.h.at[0].set(0.2).at[1].set(0.1),
+            w=st.w.at[0].set(0.3).at[1].set(-0.1),
+            z=st.z.at[0].set(0.05),
+        )
+
+        def f(dt):
+            dw, dz, _, _ = _sample_increment_stack(key, st, dt)
+            return jnp.sum(dw ** 2 + dz ** 2)
+
+        for dt in (0.2, 0.3, 0.15, 0.4):  # boundaries, inside, beyond
+            g = jax.grad(f)(jnp.asarray(dt, jnp.float32))
+            assert bool(jnp.isfinite(g)), f"dt={dt}"
