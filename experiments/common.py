@@ -64,6 +64,11 @@ def parse_args(default_config: str) -> argparse.Namespace:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--data-parallel", type=int, default=None, metavar="N",
                    help="run data-parallel over N mesh devices")
+    p.add_argument("--per-sample", action="store_true",
+                   help="per-sample adaptive stepping (each batch element "
+                        "gets its own controller and NFE; reported NFE is "
+                        "the batch max = the solve's wall-clock cost, with "
+                        "the mean printed alongside)")
     p.add_argument("--resume-from", default=None, metavar="RUN_DIR",
                    help="resume from the latest checkpoint of a prior run dir")
     return p.parse_args()

@@ -80,6 +80,7 @@ def main():
     print(f"data source: {train_loader.source}")
 
     axis_name = "data" if args.data_parallel else None
+    per_sample = bool(args.per_sample)
     node = NeuralODE(
         MLPDynamics(dim=784, hidden=100),
         tspan=(0.0, 1.0),
@@ -91,8 +92,10 @@ def main():
         axis_name=axis_name,
         # Fused Pallas trial step on accelerators; composes with data
         # parallelism (the kernel reduces the error/stiffness norms to
-        # scalars which the solver psums over the mesh axis).
-        fused=jax.default_backend() != "cpu",
+        # scalars which the solver psums over the mesh axis). Per-sample
+        # adaptive stepping uses its own (unfused) engine.
+        fused=jax.default_backend() != "cpu" and not per_sample,
+        per_sample=per_sample,
     )
     clf = ClassifierNODE(None, node, nn.Dense(10))
     key = jax.random.PRNGKey(seed)
@@ -106,8 +109,12 @@ def main():
         out = clf(params, x, tspan=(0.0, t1))
         ce = optax.softmax_cross_entropy(out.logits, y).mean()
         r = reg_fn(out.telemetry) if regularize else 0.0
-        return ce + lam * r, {"ce": ce, "reg": r, "nfe": out.nfe,
-                              "success": jnp.asarray(out.success, jnp.float32)}
+        # Per-sample mode yields (batch,) nfe/success vectors; the max NFE
+        # is the solve's wall-clock cost (slowest lane), and mean success
+        # is the fraction of samples integrated to t1. Scalars unchanged.
+        return ce + lam * r, {"ce": ce, "reg": r, "nfe": jnp.max(out.nfe),
+                              "success": jnp.mean(
+                                  jnp.asarray(out.success, jnp.float32))}
 
     if args.data_parallel:
         from regneuralde_tpu import parallel as par
@@ -126,7 +133,11 @@ def main():
     @jax.jit
     def infer(params, x):
         out = clf(params, x, mode="while")
-        return out.logits, out.nfe
+        # max == mean == nfe for the default global-control solve; they
+        # differ only under --per-sample (max = wall-clock cost of the
+        # solve, mean = the honest average per-sample cost).
+        return (out.logits, jnp.max(out.nfe),
+                jnp.mean(out.nfe.astype(jnp.float32)))
 
     def sweep_accuracy(params, loader):
         return accuracy(lambda p, x: infer(p, x), params, loader,
@@ -165,10 +176,12 @@ def main():
     nfe_counts, train_accs, test_accs = [], [], []
     train_times, infer_times = [], []
 
+    nfe_means = []
     dummy = jnp.asarray(train_loader.first_batch()[0])
     with Timer() as t:
-        _, nfe0 = block(infer(state.params, dummy))
+        _, nfe0, nfe0_mean = block(infer(state.params, dummy))
     nfe_counts.append(int(nfe0)); infer_times.append(t.elapsed)
+    nfe_means.append(float(nfe0_mean))
     train_times.append(0.0)
     train_accs.append(sweep_accuracy(state.params, train_loader))
     test_accs.append(sweep_accuracy(state.params, test_loader))
@@ -184,7 +197,13 @@ def main():
                 break
             if steer:
                 steer_key, sk = jax.random.split(steer_key)
-                _, t1 = reg.steer_tspan(sk, b=0.5)
+                if per_sample and not args.data_parallel:
+                    # Per-sample STEER: an independent end-time draw per
+                    # sample (the per-sample solver takes a (batch,) t1).
+                    _, t1 = reg.steer_tspan_per_sample(
+                        sk, int(jnp.asarray(x).shape[0]), b=0.5)
+                else:
+                    _, t1 = reg.steer_tspan(sk, b=0.5)
             else:
                 t1 = jnp.asarray(1.0, jnp.float32)
             xb, yb = prep(jnp.asarray(x), jnp.asarray(y))
@@ -198,8 +217,11 @@ def main():
                            "Regularization": float(aux["reg"])})
 
         with Timer() as t:
-            _, nfe = block(infer(state.params, dummy))
+            _, nfe, nfe_mean = block(infer(state.params, dummy))
         nfe_counts.append(int(nfe)); infer_times.append(t.elapsed)
+        nfe_means.append(float(nfe_mean))
+        if per_sample:
+            print(f"  per-sample NFE: mean {nfe_mean:.1f}, max {int(nfe)}")
         train_times.append(timing)
         train_accs.append(sweep_accuracy(state.params, train_loader))
         test_accs.append(sweep_accuracy(state.params, test_loader))
@@ -209,8 +231,13 @@ def main():
                         extra={"epoch": epoch})
 
     logger(True, {})
+    extra_results = (
+        {"nfe_means_per_sample": nfe_means, "per_sample": True}
+        if per_sample else {}
+    )
     finish(run_dir, {
         "nfe_counts": nfe_counts,
+        **extra_results,
         "train_accuracies": train_accs,
         "test_accuracies": test_accs,
         "train_runtimes": train_times,

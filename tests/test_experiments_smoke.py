@@ -49,6 +49,17 @@ def test_mnist_node_cli_smoke(tmp_path):
     assert all(n > 0 for n in results["nfe_counts"])
 
 
+def test_mnist_node_per_sample_cli_smoke(tmp_path):
+    results = _run_cli("mnist_node", tmp_path,
+                       extra=["--batch-size", "32", "--per-sample",
+                              "--steer", "true"])
+    assert results["per_sample"] is True
+    assert len(results["nfe_means_per_sample"]) == 2
+    # mean per-sample NFE can never exceed the recorded max
+    assert all(m <= n + 1e-6 for m, n in
+               zip(results["nfe_means_per_sample"], results["nfe_counts"]))
+
+
 def test_latent_ode_cli_smoke(tmp_path):
     results = _run_cli("latent_ode", tmp_path)
     assert len(results["nfe_counts"]) == 2
