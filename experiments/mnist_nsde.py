@@ -46,6 +46,7 @@ def main():
     # damping-optimized SOSRI2 tableau when harvesting the stiffness
     # estimate (mnist_nsde.jl:45-65 uses AutoSOSRI2(SOSRI2()) there).
     solver = "sosri2" if reg_type == "stiff_est" else "sosri"
+    per_sample = bool(args.per_sample)
     nsde = NeuralSDE(
         MLP(features=(64, 32)),
         MLP(features=(32,)),
@@ -58,6 +59,10 @@ def main():
         # the default: at this workload's ~5 trial steps the solve is
         # draw-generation-bound and the fused step measured neutral
         # (2.00 ms either way on one v5e) — see BASELINE.md.
+        # --per-sample: each Monte-Carlo trajectory in the classifier's
+        # fan-out gets its own controller and Brownian bridge — one
+        # unlucky trajectory no longer forces small steps on all of them.
+        per_sample=per_sample,
     )
     clf = ClassifierNSDE(nn.Dense(32), nsde, nn.Dense(10))
     x0, _ = train_loader.first_batch()
@@ -84,16 +89,23 @@ def main():
         out = clf(params, x, key, trajectories=1)
         ce = optax.softmax_cross_entropy(out.logits, y).mean()
         r = reg_fn(out.telemetry) if regularize else 0.0
+        # max/mean reduce (trajectories*batch,) vectors under
+        # --per-sample and are identity on the default scalars.
         return ce + lam * r, {"ce": ce, "reg": r,
-                              "nfe1": out.nfe1, "nfe2": out.nfe2,
-                              "success": jnp.asarray(out.success, jnp.float32)}
+                              "nfe1": jnp.max(out.nfe1),
+                              "nfe2": jnp.max(out.nfe2),
+                              "success": jnp.mean(
+                                  jnp.asarray(out.success, jnp.float32))}
 
     train_step = guarded_train_step(loss_fn, optimizer)
 
     @functools.partial(jax.jit, static_argnums=(3,))
     def infer(params, x, key, trajectories=10):
         out = clf(params, x, key, trajectories=trajectories, mode="while")
-        return out.logits, out.nfe1, out.nfe2
+        # max == the solve's wall-clock cost; the mean (recorded under
+        # --per-sample) is the honest average per-trajectory cost.
+        return (out.logits, jnp.max(out.nfe1), jnp.max(out.nfe2),
+                jnp.mean(out.nfe1.astype(jnp.float32)))
 
     eval_key = jax.random.PRNGKey(seed + 7)
 
@@ -111,12 +123,13 @@ def main():
     health = HealthMonitor("mnist_nsde")
 
     nfe1s, nfe2s, train_accs, test_accs = [], [], [], []
-    train_times, infer_times = [], []
+    train_times, infer_times, nfe1_means = [], [], []
 
     dummy = jnp.asarray(train_loader.first_batch()[0])
     with Timer() as t:
-        _, n1, n2 = block(infer(state.params, dummy, eval_key, 10))
+        _, n1, n2, n1_mean = block(infer(state.params, dummy, eval_key, 10))
     nfe1s.append(int(n1)); nfe2s.append(int(n2)); infer_times.append(t.elapsed)
+    nfe1_means.append(float(n1_mean))
     train_times.append(0.0)
     train_accs.append(sweep_accuracy(state.params, train_loader))
     test_accs.append(sweep_accuracy(state.params, test_loader))
@@ -142,8 +155,13 @@ def main():
                            "Regularization": float(aux["reg"])})
 
         with Timer() as t:
-            _, n1, n2 = block(infer(state.params, dummy, eval_key, 10))
+            _, n1, n2, n1_mean = block(infer(state.params, dummy,
+                                             eval_key, 10))
         nfe1s.append(int(n1)); nfe2s.append(int(n2))
+        nfe1_means.append(float(n1_mean))
+        if per_sample:
+            print(f"  per-trajectory NFE1: mean {n1_mean:.1f}, "
+                  f"max {int(n1)}")
         infer_times.append(t.elapsed); train_times.append(timing)
         train_accs.append(sweep_accuracy(state.params, train_loader))
         test_accs.append(sweep_accuracy(state.params, test_loader))
@@ -152,9 +170,14 @@ def main():
         ckpt.maybe_save(epoch, state.params, state.opt_state)
 
     logger(True, {})
+    extra_results = (
+        {"nfe1_means_per_sample": nfe1_means, "per_sample": True}
+        if per_sample else {}
+    )
     finish(run_dir, {
         "nfe1_counts": nfe1s,
         "nfe2_counts": nfe2s,
+        **extra_results,
         "train_accuracies": train_accs,
         "test_accuracies": test_accs,
         "train_runtimes": train_times,

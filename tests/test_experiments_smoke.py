@@ -72,6 +72,14 @@ def test_mnist_nsde_cli_smoke(tmp_path):
     assert all(n > 0 for n in results["nfe1_counts"])
 
 
+def test_mnist_nsde_per_sample_cli_smoke(tmp_path):
+    results = _run_cli("mnist_nsde", tmp_path, extra=["--per-sample"])
+    assert results["per_sample"] is True
+    assert len(results["nfe1_means_per_sample"]) == 2
+    assert all(m <= n + 1e-6 for m, n in
+               zip(results["nfe1_means_per_sample"], results["nfe1_counts"]))
+
+
 def test_sde_toy_cli_smoke(tmp_path):
     # --epochs caps iterations; --batch-size is the trajectory count.
     results = _run_cli("sde_toy", tmp_path, extra=["--epochs", "2"])
