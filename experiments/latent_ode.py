@@ -77,6 +77,7 @@ def main():
     # One shared saveat grid, as the reference takes sample 1's stamps (:137).
     saveat = jnp.asarray(train_loader.first_batch()[5][0], jnp.float32)
 
+    per_sample = bool(args.per_sample)
     node = NeuralODE(
         AlternatingMLP(dim=20, hidden=50, depth=4),
         time_dep=False,
@@ -86,7 +87,11 @@ def main():
         max_steps=max_steps,
         saveat=saveat,
         # Fused Pallas trial step (generic builder) on accelerators.
-        fused=jax.default_backend() != "cpu",
+        # --per-sample gives every series its own adaptive controller
+        # (honest per-sample NFE over the shared saveat grid); it uses its
+        # own unfused vmap engine.
+        fused=jax.default_backend() != "cpu" and not per_sample,
+        per_sample=per_sample,
     )
     model = LatentTimeSeriesModel(
         rnn=LatentGRU(in_dim=37, hidden=40, latent_dim=50),
@@ -128,9 +133,14 @@ def main():
         kl = lam_k * kl_divergence(out.mu0, out.logvar)
         r = reg_fn(out.telemetry) if regularize else 0.0
         loss = -jnp.mean(ll - kl) + lam_r * r
+        # Per-sample mode yields (batch,) nfe/success vectors; max NFE is
+        # the solve's wall-clock cost (slowest series), mean success the
+        # fraction of series integrated to the last stamp. Identity on the
+        # default global-control scalars.
         return loss, {"nll": -jnp.mean(ll), "kl": jnp.mean(kl), "reg": r,
-                      "nfe": out.nfe,
-                      "success": jnp.asarray(out.success, jnp.float32)}
+                      "nfe": jnp.max(out.nfe),
+                      "success": jnp.mean(
+                          jnp.asarray(out.success, jnp.float32))}
 
     train_step = guarded_train_step(loss_fn, optimizer)
 
@@ -141,7 +151,9 @@ def main():
         err = (out.result - data) * mask
         mse = jnp.sum(jnp.sum(jnp.square(err), axis=(1, 2))
                       / jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0))
-        return mse, out.nfe
+        # max == mean == nfe under global control; they differ only under
+        # --per-sample (max = wall-clock cost, mean = honest average).
+        return mse, jnp.max(out.nfe), jnp.mean(out.nfe.astype(jnp.float32))
 
     eval_key = jax.random.PRNGKey(seed + 3)
 
@@ -152,8 +164,8 @@ def main():
         for i, (d, m, _, _, tp, _) in enumerate(loader):
             if cap is not None and i >= cap:
                 break
-            mse, _ = eval_batch(params, jnp.asarray(d), jnp.asarray(m),
-                                jnp.asarray(tp), eval_key)
+            mse, _, _ = eval_batch(params, jnp.asarray(d), jnp.asarray(m),
+                                   jnp.asarray(tp), eval_key)
             total += float(mse)
             count += d.shape[0]
         return total / max(count, 1)
@@ -168,12 +180,15 @@ def main():
 
     nfe_counts, train_losses, test_losses = [], [], []
     train_times, infer_times = [], []
+    nfe_means = []
 
     d0, m0, _, _, tp0, _ = train_loader.first_batch()
     with Timer() as t:
-        _, nfe0 = block(eval_batch(state.params, jnp.asarray(d0),
-                                   jnp.asarray(m0), jnp.asarray(tp0), eval_key))
+        _, nfe0, nfe0_mean = block(eval_batch(
+            state.params, jnp.asarray(d0), jnp.asarray(m0), jnp.asarray(tp0),
+            eval_key))
     nfe_counts.append(int(nfe0)); infer_times.append(t.elapsed)
+    nfe_means.append(float(nfe0_mean))
     train_times.append(0.0)
     train_losses.append(sweep_mse(state.params, train_loader))
     test_losses.append(sweep_mse(state.params, test_loader))
@@ -189,7 +204,15 @@ def main():
             if args.limit_batches is not None and i >= args.limit_batches:
                 break
             key, sk, steer_k = jax.random.split(key, 3)
-            sa = reg.steer_saveat(steer_k, saveat) if steer else saveat
+            if steer and per_sample:
+                # Per-sample STEER: every series gets its own jittered
+                # stamp grid (the per-sample solver takes (batch, n_save)).
+                sa = reg.steer_saveat_per_sample(steer_k, saveat,
+                                                 int(d.shape[0]))
+            elif steer:
+                sa = reg.steer_saveat(steer_k, saveat)
+            else:
+                sa = saveat
             t0 = time.time()
             state, loss, aux = train_step(
                 state, jnp.asarray(d), jnp.asarray(m), jnp.asarray(tp), sk,
@@ -203,10 +226,13 @@ def main():
                            "Regularization": float(aux["reg"])})
 
         with Timer() as t:
-            _, nfe = block(eval_batch(state.params, jnp.asarray(d0),
-                                      jnp.asarray(m0), jnp.asarray(tp0),
-                                      eval_key))
+            _, nfe, nfe_mean = block(eval_batch(state.params, jnp.asarray(d0),
+                                                jnp.asarray(m0),
+                                                jnp.asarray(tp0), eval_key))
         nfe_counts.append(int(nfe)); infer_times.append(t.elapsed)
+        nfe_means.append(float(nfe_mean))
+        if per_sample:
+            print(f"  per-sample NFE: mean {nfe_mean:.1f}, max {int(nfe)}")
         train_times.append(timing)
         train_losses.append(sweep_mse(state.params, train_loader))
         test_losses.append(sweep_mse(state.params, test_loader))
@@ -215,8 +241,13 @@ def main():
         ckpt.maybe_save(epoch, state.params, state.opt_state)
 
     logger(True, {})
+    extra_results = (
+        {"nfe_means_per_sample": nfe_means, "per_sample": True}
+        if per_sample else {}
+    )
     finish(run_dir, {
         "nfe_counts": nfe_counts,
+        **extra_results,
         "train_loss": train_losses,
         "test_loss": test_losses,
         "train_runtimes": train_times,

@@ -86,6 +86,26 @@ def _reject_global_kwargs(kwargs):
         kwargs.pop(key, None)
 
 
+def _split_saveat(kwargs, batch):
+    """Pop ``saveat`` and classify it: ``None``, a shared ``(n_save,)``
+    grid, or a per-sample ``(batch, n_save)`` grid (each sample decoded at
+    its OWN timestamps — e.g. each physionet series' observation stamps;
+    the reference forces sample 1's grid on the whole batch,
+    experiments/latent_ode.jl:137). Returns ``(saveat, vmap_axis)``."""
+    sa = kwargs.pop("saveat", None)
+    if sa is None:
+        return None, None
+    sa = jnp.asarray(sa)
+    if sa.ndim == 1:
+        return sa, None
+    if sa.ndim == 2 and sa.shape[0] == batch:
+        return sa, 0
+    raise ValueError(
+        "saveat must be a shared (n_save,) grid or a per-sample "
+        f"({batch}, n_save) grid; got shape {sa.shape}"
+    )
+
+
 def odeint_per_sample(
     func: Callable[[Any, Pytree, Any], Pytree],
     y0: Pytree,
@@ -106,9 +126,14 @@ def odeint_per_sample(
         one shared ``t1`` per minibatch, experiments/mnist_node.jl:133).
       args: shared across samples (model parameters).
       **kwargs: forwarded to :func:`odeint` (solver, rtol/atol, dt0,
-        max_steps, saveat, controller, mode, remat). ``axis_name`` /
-        ``stage_sweep`` / ``stage_sweep_bwd`` are rejected (see module
-        docstring).
+        max_steps, saveat, controller, mode, remat). ``saveat`` may be a
+        shared sorted ``(n_save,)`` grid or a per-sample ``(batch,
+        n_save)`` grid (each row sorted) — the latter decodes every
+        sample at its OWN timestamps (e.g. each physionet series'
+        observation stamps; the reference forces sample 1's grid on the
+        whole batch, experiments/latent_ode.jl:137), and ``sol.ts`` is
+        then ``(batch, n_save)``. ``axis_name`` / ``stage_sweep`` /
+        ``stage_sweep_bwd`` are rejected (see module docstring).
 
     Returns:
       An :class:`ODESolution` whose array conventions match the batched
@@ -122,6 +147,7 @@ def odeint_per_sample(
     """
     _reject_global_kwargs(kwargs)
     batch = _check_batch(y0)
+    saveat, sa_axis = _split_saveat(kwargs, batch)
 
     # Each lane keeps a singleton batch axis so batched dynamics modules
     # (which concatenate time rows, run (batch, feat) matmuls, ...) work
@@ -133,13 +159,15 @@ def odeint_per_sample(
     _check_tspan("t0", t0a, batch)
     _check_tspan("t1", t1a, batch)
 
-    def solve_one(y0_one, t0_one, t1_one):
-        return odeint(func, y0_one, t0_one, t1_one, args, **kwargs)
+    def solve_one(y0_one, t0_one, t1_one, sa_one):
+        return odeint(func, y0_one, t0_one, t1_one, args, saveat=sa_one,
+                      **kwargs)
 
     sol = jax.vmap(
         solve_one,
-        in_axes=(0, 0 if t0a.ndim else None, 0 if t1a.ndim else None),
-    )(y0_lanes, t0a, t1a)
+        in_axes=(0, 0 if t0a.ndim else None, 0 if t1a.ndim else None,
+                 sa_axis),
+    )(y0_lanes, t0a, t1a, saveat)
 
     y1 = jax.tree_util.tree_map(lambda l: jnp.squeeze(l, 1), sol.y1)
     ys = None
@@ -150,7 +178,9 @@ def odeint_per_sample(
         ys = jax.tree_util.tree_map(
             lambda l: jnp.moveaxis(jnp.squeeze(l, 2), 0, 1), sol.ys
         )
-        ts = sol.ts[0]  # saveat is shared; vmap stacked it
+        # Shared grid: vmap stacked the same row per lane — report one.
+        # Per-sample grid: report the full (batch, n_save) stamps.
+        ts = sol.ts[0] if sa_axis is None else sol.ts
     return ODESolution(y1=y1, ys=ys, ts=ts, stats=sol.stats,
                        telemetry=sol.telemetry)
 
@@ -189,6 +219,7 @@ def sdeint_per_sample(
 
     _reject_global_kwargs(kwargs)
     batch = _check_batch(y0)
+    saveat, sa_axis = _split_saveat(kwargs, batch)
 
     y0_lanes = jax.tree_util.tree_map(lambda l: l[:, None], y0)
     t0a = jnp.asarray(t0)
@@ -197,14 +228,15 @@ def sdeint_per_sample(
     _check_tspan("t1", t1a, batch)
     keys = jax.random.split(key, batch)
 
-    def solve_one(y0_one, t0_one, t1_one, key_one):
+    def solve_one(y0_one, t0_one, t1_one, key_one, sa_one):
         return sdeint(drift, diffusion, y0_one, t0_one, t1_one, args,
-                      key=key_one, **kwargs)
+                      key=key_one, saveat=sa_one, **kwargs)
 
     sol = jax.vmap(
         solve_one,
-        in_axes=(0, 0 if t0a.ndim else None, 0 if t1a.ndim else None, 0),
-    )(y0_lanes, t0a, t1a, keys)
+        in_axes=(0, 0 if t0a.ndim else None, 0 if t1a.ndim else None, 0,
+                 sa_axis),
+    )(y0_lanes, t0a, t1a, keys, saveat)
 
     y1 = jax.tree_util.tree_map(lambda l: jnp.squeeze(l, 1), sol.y1)
     ys = None
@@ -213,6 +245,6 @@ def sdeint_per_sample(
         ys = jax.tree_util.tree_map(
             lambda l: jnp.moveaxis(jnp.squeeze(l, 2), 0, 1), sol.ys
         )
-        ts = sol.ts[0]
+        ts = sol.ts[0] if sa_axis is None else sol.ts
     return SDESolution(y1=y1, ys=ys, ts=ts, stats=sol.stats,
                        telemetry=sol.telemetry)

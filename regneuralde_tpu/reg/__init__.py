@@ -42,6 +42,7 @@ __all__ = [
     "steer_tspan",
     "steer_tspan_per_sample",
     "steer_saveat",
+    "steer_saveat_per_sample",
 ]
 
 
@@ -189,3 +190,21 @@ def steer_saveat(
     jittered = saveat[1:] + u * dt / 2.0
     out = jnp.concatenate([saveat[:1], jittered])
     return jnp.clip(out, lo, hi)
+
+
+def steer_saveat_per_sample(
+    key: jax.Array, saveat: jnp.ndarray, batch: int,
+    lo: float = 0.0, hi: float = 1.0,
+) -> jnp.ndarray:
+    """:func:`steer_saveat` with an independent jitter draw per sample.
+
+    Returns a ``(batch, n_save)`` grid for per-sample solves
+    (``saveat`` rows stay sorted: each point moves by at most half the
+    gap to its predecessor, the same bound the shared form uses). The
+    reference jitters ONE shared grid per minibatch
+    (experiments/latent_ode.jl:197-208); per-sample adaptive stepping
+    accepts per-sample grids, making the per-sample form expressible.
+    """
+    return jax.vmap(
+        lambda k: steer_saveat(k, saveat, lo=lo, hi=hi)
+    )(jax.random.split(key, batch))

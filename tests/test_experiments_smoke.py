@@ -66,6 +66,14 @@ def test_latent_ode_cli_smoke(tmp_path):
     assert all(n > 0 for n in results["nfe_counts"])
 
 
+def test_latent_ode_per_sample_cli_smoke(tmp_path):
+    results = _run_cli("latent_ode", tmp_path, extra=["--per-sample"])
+    assert results["per_sample"] is True
+    assert len(results["nfe_means_per_sample"]) == 2
+    assert all(m <= n + 1e-6 for m, n in
+               zip(results["nfe_means_per_sample"], results["nfe_counts"]))
+
+
 def test_mnist_nsde_cli_smoke(tmp_path):
     results = _run_cli("mnist_nsde", tmp_path)
     assert len(results["nfe1_counts"]) == 2

@@ -90,6 +90,18 @@ class TestSteer:
         assert out.min() >= 0.0 and out.max() <= 1.0
         assert np.abs(out[1:] - np.asarray(ts)[1:]).max() > 0
 
+    def test_steer_saveat_per_sample(self):
+        ts = jnp.linspace(0.0, 1.0, 9)
+        out = np.asarray(reg.steer_saveat_per_sample(
+            jax.random.PRNGKey(2), ts, batch=4))
+        assert out.shape == (4, 9)
+        assert (out[:, 0] == 0.0).all()
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        # rows stay sorted (each point moves <= half the gap to its
+        # predecessor) and differ across samples
+        assert (np.diff(out, axis=1) >= -1e-7).all()
+        assert np.abs(out[0] - out[1]).max() > 0
+
 
 class TestEndToEnd:
     def test_reg_gradient_flattens_dynamics(self):
