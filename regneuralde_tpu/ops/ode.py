@@ -434,28 +434,37 @@ class _AdjointHist(NamedTuple):
 
 
 def _make_adjoint_solve(
-    func, tab, ctrl, rtol, atol, saveat, axis_name, stage_sweep,
+    func, tab, ctrl, rtol, atol, has_saveat, axis_name, stage_sweep,
     max_steps, time_dtype, err_dtype, bwd_precision,
 ):
     """Build the custom_vjp'd solve for one (static-config) odeint call.
 
     The returned callable maps
-      (t0, t1, dt_init, y0, f0_init, ys_buf_init, args)
+      (t0, t1, dt_init, y0, f0_init, ys_buf_init, saveat, args)
     to
       (y1, ys_buf, telemetry, t_f, dt_f, qold_f, naccept, nreject, done).
+
+    ``saveat`` is threaded as an explicit argument (``()`` when
+    ``has_saveat`` is false) rather than captured in the closure: under
+    ``jax.vmap`` with a per-sample ``(batch, n_save)`` grid the array is a
+    batch tracer, and a tracer captured by a ``custom_vjp`` closure leaks
+    when the backward is traced (UnexpectedTracerError). Its cotangent is
+    accumulated through the replay vjp like the args', so d(loss)/d(saveat)
+    matches mode="scan".
     """
     tdir_of = lambda t0, t1: jnp.sign(t1 - t0)
 
-    def make_step(t0, t1, args):
+    def make_step(t0, t1, saveat, args):
         tdir = tdir_of(t0, t1)
         span = jnp.abs(t1 - t0)
         step_fn, _ = _make_step_fn(
-            func, args, tab, ctrl, t1, tdir, span, rtol, atol, saveat,
+            func, args, tab, ctrl, t1, tdir, span, rtol, atol,
+            saveat if has_saveat else None,
             axis_name, stage_sweep=stage_sweep,
         )
         return step_fn
 
-    def replay(t, dt, qold, y, f0, ys_buf, t0, t1, args):
+    def replay(t, dt, qold, y, f0, ys_buf, t0, t1, saveat, args):
         """One trial step from the stored step-start carry (incl. the FSAL
         derivative), bitwise identical to the forward's step."""
         carry = _Carry(
@@ -466,12 +475,12 @@ def _make_adjoint_solve(
             nreject=jnp.asarray(0, jnp.int32),
             ys_buf=ys_buf,
         )
-        new, tel = make_step(t0, t1, args)(carry)
+        new, tel = make_step(t0, t1, saveat, args)(carry)
         return (new.t, new.dt, new.qold, new.y, new.f0, new.ys_buf,
                 tel.t, tel.dt, tel.eest, tel.eigen_est)
 
-    def _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init, args):
-        step_fn = make_step(t0, t1, args)
+    def _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init, saveat, args):
+        step_fn = make_step(t0, t1, saveat, args)
         tel0 = StepTelemetry(
             t=jnp.zeros((max_steps,), time_dtype),
             dt=jnp.zeros((max_steps,), time_dtype),
@@ -535,14 +544,17 @@ def _make_adjoint_solve(
         return outs, hist
 
     @jax.custom_vjp
-    def solve(t0, t1, dt_init, y0, f0_init, ys_buf_init, args):
-        outs, _ = _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init, args)
+    def solve(t0, t1, dt_init, y0, f0_init, ys_buf_init, saveat, args):
+        outs, _ = _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init,
+                           saveat, args)
         return outs
 
-    def solve_fwd(t0, t1, dt_init, y0, f0_init, ys_buf_init, args):
-        outs, hist = _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init, args)
+    def solve_fwd(t0, t1, dt_init, y0, f0_init, ys_buf_init, saveat, args):
+        outs, hist = _forward(t0, t1, dt_init, y0, f0_init, ys_buf_init,
+                              saveat, args)
         nsteps = outs[6] + outs[7]  # naccept + nreject
-        return outs, (hist, nsteps, t0, t1, y0, f0_init, ys_buf_init, args)
+        return outs, (hist, nsteps, t0, t1, y0, f0_init, ys_buf_init,
+                      saveat, args)
 
     def solve_bwd(res, cts):
         # PRECISION IS LOAD-BEARING: this function is traced lazily during
@@ -559,7 +571,7 @@ def _make_adjoint_solve(
         return _solve_bwd_impl(res, cts)
 
     def _solve_bwd_impl(res, cts):
-        hist, nsteps, t0, t1, y0, f0_init, ys_buf_init, args = res
+        hist, nsteps, t0, t1, y0, f0_init, ys_buf_init, saveat, args = res
         (ct_y1, ct_ysbuf, ct_tel, ct_tf, ct_dtf, ct_qoldf,
          _ct_na, _ct_nr, _ct_done) = cts
 
@@ -576,6 +588,7 @@ def _make_adjoint_solve(
             _materialize_tree(ct_y1, y0),
             zlike(f0_init),  # ct on the carried FSAL derivative
             _materialize_tree(ct_ysbuf, ys_buf_init),
+            zlike(saveat),
             zlike(args),
             jnp.zeros((), time_dtype),  # extra ct into t0 (span clamp)
             jnp.zeros((), time_dtype),  # extra ct into t1 (is_last / span)
@@ -591,26 +604,28 @@ def _make_adjoint_solve(
             return state[0] >= 0
 
         def body(state):
-            (i, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys, ct_args,
+            (i, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys, ct_sa, ct_args,
              ct_t0x, ct_t1x) = state
             row = lambda tree: jax.tree_util.tree_map(lambda b: b[i], tree)
             prim = (
                 hist.t[i], hist.dt[i], hist.qold[i],
                 row(hist.y), row(hist.f0),
-                ys_zero, t0, t1, args,
+                ys_zero, t0, t1, saveat, args,
             )
             _, vjp_fn = jax.vjp(replay, *prim)
-            (d_t, d_dt, d_qold, d_y, d_f0, d_ys, d_t0, d_t1, d_args) = vjp_fn(
+            (d_t, d_dt, d_qold, d_y, d_f0, d_ys, d_t0, d_t1, d_sa,
+             d_args) = vjp_fn(
                 (ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys,
                  ct_tel_t[i], ct_tel_dt[i], ct_tel_eest[i], ct_tel_eig[i])
             )
             return (
                 i - 1, d_t, d_dt, d_qold, d_y, d_f0, d_ys,
+                jax.tree_util.tree_map(jnp.add, ct_sa, d_sa),
                 jax.tree_util.tree_map(jnp.add, ct_args, d_args),
                 ct_t0x + d_t0, ct_t1x + d_t1,
             )
 
-        (_, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys, ct_args,
+        (_, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys, ct_sa, ct_args,
          ct_t0x, ct_t1x) = lax.while_loop(cond, body, carry0)
 
         return (
@@ -620,6 +635,7 @@ def _make_adjoint_solve(
             ct_y,           # y0
             ct_f0,          # f0_init (FSAL seed; flows through func at t0)
             ct_ys,          # ys_buf_init (pass-through outside save windows)
+            ct_sa,          # saveat (interpolation stamps)
             ct_args,
         )
 
@@ -1177,12 +1193,13 @@ def odeint(
                 telemetry=tel,
             )
         solve = _make_adjoint_solve(
-            func, tab, ctrl, rtol, atol, saveat, axis_name, stage_sweep,
-            max_steps, time_dtype, err_dtype, _bwd_precision,
+            func, tab, ctrl, rtol, atol, saveat is not None, axis_name,
+            stage_sweep, max_steps, time_dtype, err_dtype, _bwd_precision,
         )
         ys_init = ys_buf if ys_buf is not None else ()
+        sa_arg = saveat if saveat is not None else ()
         (y1, ys_out, tel, _tf, _dtf, _qoldf, naccept, nreject, done) = solve(
-            t0, t1, init.dt, y0, f_init, ys_init, args
+            t0, t1, init.dt, y0, f_init, ys_init, sa_arg, args
         )
         nsteps = naccept + nreject
         stats = ODEStats(

@@ -455,9 +455,14 @@ def sdeint(
         ys_buf=ys_buf,
     )
 
-    def make_step(t1, span, args):
+    def make_step(t1, span, saveat, args):
         # Factory so the adjoint backward can rebuild the identical step
-        # with traced (t1, span, args) for per-step jax.vjp replay.
+        # with traced (t1, span, saveat, args) for per-step jax.vjp
+        # replay. ``saveat`` is a parameter (not a closure capture) so the
+        # adjoint can thread it through its custom_vjp: under jax.vmap
+        # with a per-sample (batch, n_save) grid the array is a batch
+        # tracer, and a tracer captured by a custom_vjp closure leaks when
+        # the backward is traced (UnexpectedTracerError).
         def step(carry: _Carry):
             t, dt, y = carry.t, carry.dt, carry.y
             remaining = t1 - t
@@ -534,7 +539,7 @@ def sdeint(
 
         return step
 
-    step = make_step(t1, span, args)
+    step = make_step(t1, span, saveat, args)
 
 
     # EEst/eigen_est dtype follows the state dtype (float64 under x64);
@@ -563,7 +568,7 @@ def sdeint(
         # input; gradients flow through dW/dZ via the stored tail and the
         # bridge's dt-dependent scale exactly as in scan mode.
         final, tel = _sde_adjoint_solve(
-            make_step, init, t0, t1, span, args, max_steps,
+            make_step, init, t0, t1, span, saveat, args, max_steps,
             time_dtype, eest_dtype, _bwd_precision,
         )
     elif mode == "scan":
@@ -618,8 +623,8 @@ class _SDEHist(NamedTuple):
     tail_z: Pytree
 
 
-def _sde_adjoint_solve(make_step, init, t0, t1, span, args, max_steps,
-                       time_dtype, eest_dtype, bwd_precision):
+def _sde_adjoint_solve(make_step, init, t0, t1, span, saveat, args,
+                       max_steps, time_dtype, eest_dtype, bwd_precision):
     """while_loop forward + custom reverse while_loop over live steps (the
     SDE counterpart of ops.ode's mode="adjoint"). Not twice-differentiable."""
     from regneuralde_tpu.ops.ode import _materialize, _materialize_tree
@@ -641,7 +646,7 @@ def _sde_adjoint_solve(make_step, init, t0, t1, span, args, max_steps,
         return jax.tree_util.tree_map(mk, tree)
 
     def replay(t, dt, qold, y, tail_h, tail_w, tail_z, ys_buf, t1_, span_,
-               args_, key_):
+               sa_, args_, key_):
         carry = _Carry(
             t=t, dt=dt, qold=qold, y=y,
             done=jnp.asarray(False),
@@ -652,13 +657,14 @@ def _sde_adjoint_solve(make_step, init, t0, t1, span, args, max_steps,
             tail=_Tail(h=tail_h, w=tail_w, z=tail_z),
             ys_buf=ys_buf if has_ys else None,
         )
-        new, tl = make_step(t1_, span_, args_)(carry)
+        new, tl = make_step(t1_, span_, sa_, args_)(carry)
         return (new.t, new.dt, new.qold, new.y, new.tail.h, new.tail.w,
                 new.tail.z, new.ys_buf if has_ys else (),
                 tl.t, tl.dt, tl.eest, tl.eigen_est)
 
-    def _forward(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_, key_, args_):
-        step_fn = make_step(t1_, span_, args_)
+    def _forward(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_, sa_,
+                 key_, args_):
+        step_fn = make_step(t1_, span_, sa_, args_)
         tel0 = StepTelemetry(
             t=jnp.zeros((max_steps,), time_dtype),
             dt=jnp.zeros((max_steps,), time_dtype),
@@ -718,16 +724,19 @@ def _sde_adjoint_solve(make_step, init, t0, t1, span, args, max_steps,
         return outs, hist
 
     @jax.custom_vjp
-    def solve(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_, key_, args_):
+    def solve(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_, sa_, key_,
+              args_):
         outs, _ = _forward(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_,
-                           key_, args_)
+                           sa_, key_, args_)
         return outs
 
-    def solve_fwd(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_, key_, args_):
-        outs, hist = _forward(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_,
-                              key_, args_)
+    def solve_fwd(t0_, t1_, span_, dt_init, y0_, tail0_, ys_init_, sa_,
+                  key_, args_):
+        outs, hist = _forward(t0_, t1_, span_, dt_init, y0_, tail0_,
+                              ys_init_, sa_, key_, args_)
         nsteps = outs[6] + outs[7]
-        return outs, (hist, nsteps, t1_, span_, y0_, tail0_, ys_init_, args_)
+        return outs, (hist, nsteps, t1_, span_, y0_, tail0_, ys_init_, sa_,
+                      args_)
 
     def solve_bwd(res, cts):
         # Traced lazily outside the forward's matmul-precision context —
@@ -738,7 +747,7 @@ def _sde_adjoint_solve(make_step, init, t0, t1, span, args, max_steps,
         return _solve_bwd_impl(res, cts)
 
     def _solve_bwd_impl(res, cts):
-        hist, nsteps, t1_, span_, y0_, tail0_, ys_init_, args_ = res
+        hist, nsteps, t1_, span_, y0_, tail0_, ys_init_, sa_, args_ = res
         (ct_y1, ct_ysbuf, ct_tel, ct_tf, ct_dtf, ct_qoldf,
          _na, _nr, _done) = cts
 
@@ -755,6 +764,7 @@ def _sde_adjoint_solve(make_step, init, t0, t1, span, args, max_steps,
             zlike(tail0_.w),
             zlike(tail0_.z),
             _materialize_tree(ct_ysbuf, ys_init_),
+            zlike(sa_),
             zlike(args_),
             jnp.zeros((), time_dtype),  # acc ct t1
             jnp.zeros((), time_dtype),  # acc ct span
@@ -770,27 +780,29 @@ def _sde_adjoint_solve(make_step, init, t0, t1, span, args, max_steps,
 
         def body(state):
             (i, ct_t, ct_dt, ct_qold, ct_y, ct_th, ct_tw, ct_tz, ct_ys,
-             ct_args, ct_t1x, ct_spanx) = state
+             ct_sa, ct_args, ct_t1x, ct_spanx) = state
             row = lambda tr: jax.tree_util.tree_map(lambda b: b[i], tr)
             prim = (
                 hist.t[i], hist.dt[i], hist.qold[i], row(hist.y),
                 hist.tail_h[i], row(hist.tail_w), row(hist.tail_z),
-                ys_zero, t1_, span_, args_, hist.key[i],
+                ys_zero, t1_, span_, sa_, args_, hist.key[i],
             )
             _, vjp_fn = jax.vjp(replay, *prim)
             (d_t, d_dt, d_qold, d_y, d_th, d_tw, d_tz, d_ys, d_t1, d_span,
-             d_args, _d_key) = vjp_fn(
+             d_sa, d_args, _d_key) = vjp_fn(
                 (ct_t, ct_dt, ct_qold, ct_y, ct_th, ct_tw, ct_tz, ct_ys,
                  ct_tel_t[i], ct_tel_dt[i], ct_tel_e[i], ct_tel_g[i])
             )
             return (
                 i - 1, d_t, d_dt, d_qold, d_y, d_th, d_tw, d_tz, d_ys,
+                jax.tree_util.tree_map(jnp.add, ct_sa, d_sa),
                 jax.tree_util.tree_map(jnp.add, ct_args, d_args),
                 ct_t1x + d_t1, ct_spanx + d_span,
             )
 
         (_, ct_t, ct_dt, ct_qold, ct_y, ct_th, ct_tw, ct_tz, ct_ys,
-         ct_args, ct_t1x, ct_spanx) = lax.while_loop(cond, body, carry0)
+         ct_sa, ct_args, ct_t1x, ct_spanx) = lax.while_loop(
+            cond, body, carry0)
 
         return (
             ct_t,  # t0 (carry start)
@@ -800,6 +812,7 @@ def _sde_adjoint_solve(make_step, init, t0, t1, span, args, max_steps,
             ct_y,  # y0
             _Tail(h=ct_th, w=ct_tw, z=ct_tz),  # tail0
             ct_ys,  # ys_init
+            ct_sa,  # saveat (interpolation stamps)
             None,  # key (non-differentiable)
             ct_args,
         )
@@ -807,7 +820,7 @@ def _sde_adjoint_solve(make_step, init, t0, t1, span, args, max_steps,
     solve.defvjp(solve_fwd, solve_bwd)
 
     (y1, ys_out, tel, t_f, dt_f, qold_f, naccept, nreject, done) = solve(
-        t0, t1, span, init.dt, y0, tail0, ys_init, key0, args
+        t0, t1, span, init.dt, y0, tail0, ys_init, saveat, key0, args
     )
     final = init._replace(
         t=t_f, dt=dt_f, qold=qold_f, y=y1,

@@ -92,6 +92,62 @@ class TestSolver:
             np.testing.assert_array_equal(
                 np.asarray(sol.ys[:, i]), np.asarray(si.ys[:, 0]))
 
+    def test_per_sample_saveat_matches_independent(self):
+        """(batch, n_save) saveat: each sample decoded at its OWN sorted
+        stamps, lane-for-lane equal to solving that sample alone with its
+        row (the reference forces sample 1's grid on the whole batch,
+        experiments/latent_ode.jl:137)."""
+        sa = jnp.stack([
+            jnp.linspace(0.1, 1.0, 5),
+            jnp.linspace(0.0, 0.8, 5),
+            jnp.array([0.25, 0.3, 0.5, 0.9, 1.0]),
+        ])
+        sol = odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="scan",
+                                saveat=sa, **KW)
+        assert sol.ys.shape == (5, Y0.shape[0], 3)
+        assert sol.ts.shape == sa.shape
+        np.testing.assert_array_equal(np.asarray(sol.ts), np.asarray(sa))
+        for i in range(Y0.shape[0]):
+            si = odeint(oscillator, Y0[i : i + 1], 0.0, 1.0, mode="scan",
+                        saveat=sa[i], **KW)
+            np.testing.assert_array_equal(
+                np.asarray(sol.ys[:, i]), np.asarray(si.ys[:, 0]))
+
+    def test_per_sample_saveat_adjoint_grads(self):
+        """mode="adjoint" (the training default) with a per-sample grid:
+        regression for the custom_vjp closure capturing the vmap-batched
+        saveat (UnexpectedTracerError); saveat is now threaded as an
+        explicit solve argument with its own accumulated cotangent."""
+        sa = jnp.stack([
+            jnp.linspace(0.1, 1.0, 5),
+            jnp.linspace(0.0, 0.8, 5),
+            jnp.array([0.25, 0.3, 0.5, 0.9, 1.0]),
+        ])
+
+        def damped(t, y, args):
+            (c,) = args
+            return oscillator(t, y, ()) - c * y
+
+        def loss(p, sa_, mode):
+            s = odeint_per_sample(damped, Y0, 0.0, 1.0, p, mode=mode,
+                                  saveat=sa_, **KW)
+            return jnp.sum(s.ys ** 2)
+
+        for wrt in (0, 1):  # d/d(params) and d/d(saveat)
+            ga = jax.jit(jax.grad(loss, argnums=wrt),
+                         static_argnums=2)((0.3,), sa, "adjoint")
+            gs = jax.jit(jax.grad(loss, argnums=wrt),
+                         static_argnums=2)((0.3,), sa, "scan")
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+                ga, gs)
+
+    def test_per_sample_saveat_bad_shape(self):
+        with pytest.raises(ValueError, match="saveat"):
+            odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="scan",
+                              saveat=jnp.zeros((2, 4)), **KW)
+
     def test_per_sample_tspan(self):
         """Per-sample t1 (e.g. per-sample STEER jitter; the reference
         jitters one shared t1 per minibatch, experiments/mnist_node.jl:133)."""
@@ -222,6 +278,52 @@ class TestSDE:
         np.testing.assert_allclose(
             np.asarray(s.y1), np.asarray(a.y1), rtol=1e-5, atol=1e-6)
         assert bool(st.stats.success.all())
+
+    def test_per_sample_saveat_matches_independent(self):
+        sa = jnp.stack([
+            jnp.linspace(0.2, 1.0, 4),
+            jnp.linspace(0.0, 0.7, 4),
+            jnp.array([0.1, 0.5, 0.6, 1.0]),
+        ])
+        sol = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                                key=SDE_KEY, mode="scan", saveat=sa,
+                                **SDE_KW)
+        assert sol.ys.shape == (4, SDE_Y0.shape[0], 2)
+        assert sol.ts.shape == sa.shape
+        keys = jax.random.split(SDE_KEY, SDE_Y0.shape[0])
+        for i in range(SDE_Y0.shape[0]):
+            si = sdeint(sde_drift, sde_diffusion, SDE_Y0[i : i + 1],
+                        0.0, 1.0, key=keys[i], mode="scan", saveat=sa[i],
+                        **SDE_KW)
+            np.testing.assert_array_equal(
+                np.asarray(sol.ys[:, i]), np.asarray(si.ys[:, 0]))
+
+    def test_per_sample_saveat_adjoint_grads(self):
+        """mode="adjoint" with a per-sample grid (SDE counterpart of the
+        ODE regression): the vmap-batched saveat must be threaded through
+        the custom_vjp, not captured by its closure."""
+        sa = jnp.stack([
+            jnp.linspace(0.2, 1.0, 4),
+            jnp.linspace(0.0, 0.7, 4),
+            jnp.array([0.1, 0.5, 0.6, 1.0]),
+        ])
+
+        def pdrift(t, y, args):
+            (k,) = args
+            return -k * y
+
+        def loss(p, mode):
+            s = sdeint_per_sample(pdrift, sde_diffusion, SDE_Y0, 0.0,
+                                  1.0, p, key=SDE_KEY, mode=mode,
+                                  saveat=sa, **SDE_KW)
+            return jnp.sum(s.ys ** 2)
+
+        ga = jax.jit(jax.grad(loss), static_argnums=1)((0.5,), "adjoint")
+        gs = jax.jit(jax.grad(loss), static_argnums=1)((0.5,), "scan")
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+            ga, gs)
 
     def test_gradients_adjoint_matches_scan(self):
         """This batch is a regression pin: sample 1's solve rejects an
