@@ -63,6 +63,17 @@ from regneuralde_tpu.ops.tableaus import TSIT5
 f32 = jnp.float32
 i32 = jnp.int32
 
+# Timing-only ablations of the forward kernel, comma-separated in
+# REGNDE_WS_ABLATE: "nodma" skips the history stores/DMA, "notel" skips
+# the telemetry stream stores. Solves still produce the correct y1, but
+# the backward would read garbage history — set ONLY in perf probes
+# (tools/profile_flagship.py-style forward-timing ablations), never in
+# training or tests. Read at import time.
+import os as _os
+
+_ABLATE = frozenset(
+    filter(None, _os.environ.get("REGNDE_WS_ABLATE", "").split(",")))
+
 def _pad128(d: int) -> int:
     return ((d + 127) // 128) * 128
 
@@ -239,15 +250,16 @@ def make_whole_solve(
                     i, t, dt, qold, na, nr, done, cur, y, f0 = c
                 else:
                     i, t, dt, qold, na, nr, done, y, f0 = c
-                ht[i] = t
-                hdt[i] = dt
-                hqold[i] = qold
-                cpy[:, :dim] = y
-                cpf[:, :dim] = f0
-                d1 = pltpu.make_async_copy(cpy, hyr.at[i], sem.at[0])
-                d2 = pltpu.make_async_copy(cpf, hfr.at[i], sem.at[1])
-                d1.start()
-                d2.start()
+                if "nodma" not in _ABLATE:
+                    ht[i] = t
+                    hdt[i] = dt
+                    hqold[i] = qold
+                    cpy[:, :dim] = y
+                    cpf[:, :dim] = f0
+                    d1 = pltpu.make_async_copy(cpy, hyr.at[i], sem.at[0])
+                    d2 = pltpu.make_async_copy(cpf, hfr.at[i], sem.at[1])
+                    d1.start()
+                    d2.start()
                 (t_new, dt_next, qold_next, y_out, f0_out, tel_t, dt_eff,
                  eest, eigen, acc_f, done_f) = trial_step(
                     t, dt, qold, y, f0, t1, span, tdir, count, leaves)
@@ -272,13 +284,15 @@ def make_whole_solve(
                         acc_f > 0.5,
                         lambda cu: lax.while_loop(save_cond, save_body, cu),
                         lambda cu: cu, cur)
-                telt[i] = tel_t
-                teldt[i] = dt_eff
-                tele[i] = eest
-                telg[i] = eigen
-                telacc[i] = acc_f
-                d1.wait()
-                d2.wait()
+                if "notel" not in _ABLATE:
+                    telt[i] = tel_t
+                    teldt[i] = dt_eff
+                    tele[i] = eest
+                    telg[i] = eigen
+                    telacc[i] = acc_f
+                if "nodma" not in _ABLATE:
+                    d1.wait()
+                    d2.wait()
                 acc_i = acc_f.astype(i32)
                 tail = (cur,) if n_save else ()
                 return (i + 1, t_new.astype(f32), dt_next.astype(f32),

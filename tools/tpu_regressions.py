@@ -110,6 +110,39 @@ def sde_whole_solve_grads():
                                    rtol=2e-2, atol=1e-4)
 
 
+def per_sample_on_device():
+    """Per-sample mode on the real chip: lane-vs-lone bitwise parity and
+    adjoint/scan gradient agreement must survive compiled (non-interpret)
+    execution and the TPU's matmul-precision handling."""
+    from regneuralde_tpu.ops import odeint_per_sample
+
+    A = jax.random.normal(jax.random.PRNGKey(4), (8, 8)) * 0.3
+
+    def f(t, y, args):
+        (A,) = args
+        return jnp.tanh(y @ A)
+
+    y0 = jnp.stack([jnp.ones(8), 2 * jnp.ones(8), -0.5 * jnp.ones(8)])
+    kw = dict(rtol=1e-5, atol=1e-5, max_steps=64)
+    sol = jax.jit(lambda y: odeint_per_sample(f, y, 0.0, 1.0, (A,),
+                                              mode="while", **kw))(y0)
+    for i in range(3):
+        si = jax.jit(lambda y: odeint(f, y, 0.0, 1.0, (A,), mode="while",
+                                      **kw))(y0[i : i + 1])
+        np.testing.assert_array_equal(np.asarray(sol.y1[i]),
+                                      np.asarray(si.y1[0]))
+        assert int(sol.stats.nfe[i]) == int(si.stats.nfe)
+
+    def loss(args, mode):
+        s = odeint_per_sample(f, y0, 0.0, 1.0, args, mode=mode, **kw)
+        return jnp.sum(s.y1 ** 2)
+
+    ga = jax.jit(jax.grad(lambda a: loss(a, "adjoint")))((A,))
+    gs = jax.jit(jax.grad(lambda a: loss(a, "scan")))((A,))
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gs[0]),
+                               rtol=1e-3, atol=1e-5)
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices())
     if jax.default_backend() == "cpu":
@@ -118,4 +151,6 @@ if __name__ == "__main__":
     check("whole_solve_grads_match_scan_on_device", whole_solve_grads)
     check("sde_whole_solve_grads_match_unfused_on_device",
           sde_whole_solve_grads)
+    check("per_sample_lane_parity_and_grads_on_device",
+          per_sample_on_device)
     sys.exit(1 if failures else 0)
