@@ -516,6 +516,11 @@ def _make_adjoint_solve(
             nreject=jnp.asarray(0, jnp.int32),
             ys_buf=ys_buf_init,
         )
+        # Per-shard-independent solves under shard_map (see _stamp_like).
+        if axis_name is None:
+            init = _stamp_like(y0, init)
+            tel0 = _stamp_like(y0, tel0)
+            hist0 = _stamp_like(y0, hist0)
 
         def cond(state):
             carry, _, _ = state
@@ -593,6 +598,9 @@ def _make_adjoint_solve(
             jnp.zeros((), time_dtype),  # extra ct into t0 (span clamp)
             jnp.zeros((), time_dtype),  # extra ct into t1 (is_last / span)
         )
+        # Per-shard-independent solves under shard_map (see _stamp_like).
+        if axis_name is None:
+            carry0 = _stamp_like(hist.y, carry0)
 
         ct_tel_t = _materialize(ct_tel.t, jnp.zeros((max_steps,), time_dtype))
         ct_tel_dt = _materialize(ct_tel.dt, jnp.zeros((max_steps,), time_dtype))
@@ -980,6 +988,35 @@ def _make_fast_adjoint_solve(
     return solve
 
 
+def _stamp_like(ref_tree, val_tree):
+    """Stamp every leaf of ``val_tree`` with the varying-manual-axes of
+    ``ref_tree``'s first leaf (a no-op outside shard_map).
+
+    Under shard_map WITHOUT an axis_name — per-shard-independent step
+    control, e.g. per-sample adaptive stepping sharded over a data mesh —
+    loop carries initialized from replicated constants (t0, qoldinit,
+    done, counters, zeroed telemetry/history buffers) become
+    shard-varying after one step because they depend on the sharded
+    state, and lax.while_loop/scan require carry input and output types
+    (including vma) to match. Adding a 0-valued scalar that carries the
+    reference's vma upgrades the types; XLA folds the dead add."""
+    leaves = jax.tree_util.tree_leaves(ref_tree)
+    if not leaves:
+        return val_tree
+    vma = tuple(sorted(
+        getattr(jax.typeof(leaves[0]), "vma", frozenset()) or ()))
+    if not vma:
+        return val_tree
+
+    def stamp(l):
+        l = jnp.asarray(l)
+        have = getattr(jax.typeof(l), "vma", frozenset()) or frozenset()
+        need = tuple(a for a in vma if a not in have)
+        return jax.lax.pcast(l, need, to="varying") if need else l
+
+    return jax.tree_util.tree_map(stamp, val_tree)
+
+
 def _materialize(ct, zeros):
     """Replace symbolic-zero cotangents with concrete zeros."""
     if ct is None or (hasattr(ct, "dtype") and ct.dtype == jax.dtypes.float0):
@@ -1102,6 +1139,27 @@ def odeint(
     time_dtype = jnp.result_type(jnp.asarray(t0).dtype, jnp.float32)
     t0 = jnp.asarray(t0, time_dtype)
     t1 = jnp.asarray(t1, time_dtype)
+
+    # Per-shard-independent step control inside a shard_map region (no
+    # axis_name; detected via the state's varying-manual-axes): stamp the
+    # replicated differentiable inputs shard-varying ONCE at entry.
+    # Without this, every op mixing replicated params with varying state
+    # gets an implicit pvary whose transpose is a psum_invariant INSIDE
+    # the solve loops — and with per-shard trip counts (the whole point
+    # of unsynchronized control), shards then execute different numbers
+    # of collectives and the all-reduce rendezvous deadlocks. Hoisting
+    # the pvary to entry leaves exactly one end-of-backward psum, outside
+    # any loop, and the observable gradient (invariant = already
+    # all-reduced) is unchanged.
+    in_manual = axis_name is None and bool(
+        getattr(jax.typeof(jax.tree_util.tree_leaves(y0)[0]), "vma",
+                frozenset()) or frozenset()
+    )
+    if in_manual:
+        t0, t1, args = _stamp_like(y0, (t0, t1, args))
+        if saveat is not None:
+            saveat = _stamp_like(y0, jnp.asarray(saveat, time_dtype))
+
     tdir = jnp.sign(t1 - t0)
     span = jnp.abs(t1 - t0)
 
@@ -1217,7 +1275,21 @@ def odeint(
         )
 
     if mode == "scan":
-        body = lambda c: lax.cond(c.done, noop_fn, step_fn, c)
+        if in_manual:
+            # Replace the done-branch lax.cond with an explicit masked
+            # select (what vmap lowers the cond to anyway) so no
+            # branch-type matching is involved, and stamp the initial
+            # carry to the step outputs' vma (see _stamp_like).
+            def body(c):
+                new_s, out_s = step_fn(c)
+                new_n, out_n = noop_fn(c)
+                pick = lambda a, b: jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(c.done, x, y), a, b)
+                return pick(new_n, new_s), pick(out_n, out_s)
+
+            init = _stamp_like(y0, init)
+        else:
+            body = lambda c: lax.cond(c.done, noop_fn, step_fn, c)
         if remat:
             body = jax.checkpoint(body)
 
@@ -1234,6 +1306,13 @@ def odeint(
             accepted=jnp.zeros((max_steps,), bool),
             live=jnp.zeros((max_steps,), bool),
         )
+        # Per-shard-independent solves under shard_map (no axis_name):
+        # while_loop does no carry-vma unification (unlike lax.scan), so
+        # carries seeded from replicated constants must be stamped with
+        # the state's vma up front (see _stamp_like).
+        if axis_name is None:
+            init = _stamp_like(y0, init)
+            tel0 = _stamp_like(y0, tel0)
 
         def while_cond(state):
             carry, _ = state

@@ -394,6 +394,22 @@ def sdeint(
     time_dtype = jnp.result_type(jnp.asarray(t0).dtype, jnp.float32)
     t0 = jnp.asarray(t0, time_dtype)
     t1 = jnp.asarray(t1, time_dtype)
+
+    # Per-shard-independent step control inside a shard_map region: stamp
+    # replicated differentiable inputs shard-varying once at entry, so no
+    # implicit pvary/psum_invariant pairs land inside the solve loops
+    # (deadlock-prone with per-shard trip counts) — see ops.ode.odeint.
+    from regneuralde_tpu.ops.ode import _stamp_like
+
+    in_manual = axis_name is None and bool(
+        getattr(jax.typeof(jax.tree_util.tree_leaves(y0)[0]), "vma",
+                frozenset()) or frozenset()
+    )
+    if in_manual:
+        t0, t1, args = _stamp_like(y0, (t0, t1, args))
+        if saveat is not None:
+            saveat = _stamp_like(y0, jnp.asarray(saveat, time_dtype))
+
     if solver != "em" and solver not in TABLEAUS:
         raise ValueError(
             f"unknown SDE solver {solver!r}; use 'em' or one of "
@@ -569,10 +585,34 @@ def sdeint(
         # bridge's dt-dependent scale exactly as in scan mode.
         final, tel = _sde_adjoint_solve(
             make_step, init, t0, t1, span, saveat, args, max_steps,
-            time_dtype, eest_dtype, _bwd_precision,
+            time_dtype, eest_dtype, _bwd_precision, stamp=in_manual,
         )
     elif mode == "scan":
-        body = lambda c: lax.cond(c.done, noop, step, c)
+        if in_manual:
+            # No lax.cond under per-shard-independent control: branches
+            # would mix shard-varying state with replicated constants
+            # differently and fail vma type matching — use the masked
+            # select vmap lowers the cond to anyway (see ops.ode.odeint).
+            # Done lanes still EXECUTE the (discarded) step branch, where
+            # t == t1 makes dt_eff = 0 and d(sqrt(dt_eff)) = inf poisons
+            # the zeroed cotangent (0 * inf = NaN) — feed those lanes a
+            # harmless synthetic (t, dt) with dt_eff > 0 instead.
+            safe_span = jnp.maximum(span, 1.0)
+
+            def body(c):
+                safe = c._replace(
+                    t=jnp.where(c.done, t1 - safe_span, c.t),
+                    dt=jnp.where(c.done, 0.5 * safe_span, c.dt),
+                )
+                new_s, out_s = step(safe)
+                new_n, out_n = noop(c)
+                pick = lambda a, b: jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(c.done, x, y), a, b)
+                return pick(new_n, new_s), pick(out_n, out_s)
+
+            init = _stamp_like(y0, init)
+        else:
+            body = lambda c: lax.cond(c.done, noop, step, c)
         if remat:
             body = jax.checkpoint(body)
         final, tel = lax.scan(lambda c, _: body(c), init, None, length=max_steps)
@@ -585,6 +625,9 @@ def sdeint(
             accepted=jnp.zeros((max_steps,), bool),
             live=jnp.zeros((max_steps,), bool),
         )
+        if in_manual:
+            init = _stamp_like(y0, init)
+            tel0 = _stamp_like(y0, tel0)
 
         def while_body(state):
             carry, bufs = state
@@ -624,10 +667,14 @@ class _SDEHist(NamedTuple):
 
 
 def _sde_adjoint_solve(make_step, init, t0, t1, span, saveat, args,
-                       max_steps, time_dtype, eest_dtype, bwd_precision):
+                       max_steps, time_dtype, eest_dtype, bwd_precision,
+                       stamp=False):
     """while_loop forward + custom reverse while_loop over live steps (the
-    SDE counterpart of ops.ode's mode="adjoint"). Not twice-differentiable."""
-    from regneuralde_tpu.ops.ode import _materialize, _materialize_tree
+    SDE counterpart of ops.ode's mode="adjoint"). Not twice-differentiable.
+    ``stamp``: per-shard-independent control under shard_map — stamp loop
+    carries seeded from replicated constants with the state's vma."""
+    from regneuralde_tpu.ops.ode import (_materialize, _materialize_tree,
+                                         _stamp_like)
 
     y0 = init.y
     has_ys = init.ys_buf is not None
@@ -641,7 +688,7 @@ def _sde_adjoint_solve(make_step, init, t0, t1, span, saveat, args,
             vma = tuple(
                 sorted(getattr(jax.typeof(l), "vma", frozenset()) or ())
             )
-            return jax.lax.pvary(buf, vma) if vma else buf
+            return jax.lax.pcast(buf, vma, to="varying") if vma else buf
 
         return jax.tree_util.tree_map(mk, tree)
 
@@ -690,6 +737,11 @@ def _sde_adjoint_solve(make_step, init, t0, t1, span, saveat, args,
             key=key_, tail=tail0_,
             ys_buf=ys_init_ if has_ys else None,
         )
+
+        if stamp:
+            start = _stamp_like(y0_, start)
+            tel0 = _stamp_like(y0_, tel0)
+            hist0 = _stamp_like(y0_, hist0)
 
         def cond(state):
             carry, _, _ = state
@@ -769,6 +821,8 @@ def _sde_adjoint_solve(make_step, init, t0, t1, span, saveat, args,
             jnp.zeros((), time_dtype),  # acc ct t1
             jnp.zeros((), time_dtype),  # acc ct span
         )
+        if stamp:
+            carry0 = _stamp_like(hist.y, carry0)
         ct_tel_t = _materialize(ct_tel.t, jnp.zeros((max_steps,), time_dtype))
         ct_tel_dt = _materialize(ct_tel.dt, jnp.zeros((max_steps,), time_dtype))
         ct_tel_e = _materialize(ct_tel.eest, jnp.zeros((max_steps,), eest_dtype))

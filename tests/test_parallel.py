@@ -56,6 +56,104 @@ class TestSynchronizedStepControl:
                                    rtol=0.2, atol=1e-7)
 
 
+class TestPerSampleDP:
+    """Per-sample adaptive stepping composes with data parallelism for
+    free: each lane has its own controller, so shards need NO cross-shard
+    step synchronization (no axis_name) and no collectives inside the
+    solve loops (regression: the implicit pvary/psum_invariant pairs JAX
+    inserts for replicated params used to land inside the backward
+    while_loop, where per-shard trip counts deadlock the all-reduce
+    rendezvous — odeint/sdeint now stamp replicated inputs shard-varying
+    at entry). Each shard reproduces the shape-matched unsharded
+    per-sample solve's NFE exactly; trajectories and gradients agree with
+    the full-batch solve to f32 rounding (XLA fuses the 2-lane shard
+    program differently than the 16-lane vmap)."""
+
+    def test_per_sample_dp_lane_parity_and_grads(self):
+        from regneuralde_tpu.ops import odeint_per_sample
+
+        assert jax.device_count() >= 8
+        mesh = par.make_mesh(8)
+        key = jax.random.PRNGKey(0)
+        y0 = jax.random.normal(key, (16, 4))
+        p = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, 4))
+        kw = dict(rtol=1e-5, atol=1e-5, max_steps=64, mode="adjoint")
+
+        ref = odeint_per_sample(_f, y0, 0.0, 1.0, p, **kw)
+
+        def shard_solve(y0, p):
+            sol = odeint_per_sample(_f, y0, 0.0, 1.0, p, **kw)
+            return sol.y1, sol.stats.nfe
+
+        mapped = jax.jit(jax.shard_map(
+            shard_solve, mesh=mesh,
+            in_specs=(P("data", None), P()),
+            out_specs=(P("data", None), P("data")),
+        ))
+        y1, nfe = mapped(par.shard_batch(mesh, y0), par.replicate(mesh, p))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(ref.y1),
+                                   rtol=1e-5, atol=1e-7)
+        # Exact NFE parity holds against the shape-matched (2-lane)
+        # unsharded solve; vs the 16-lane vmap a reject can flip at f32
+        # rounding edges, so pin shape-matched exactness per shard.
+        solve2 = jax.jit(lambda y, p: odeint_per_sample(
+            _f, y, 0.0, 1.0, p, **kw).stats.nfe)
+        for s in range(8):
+            np.testing.assert_array_equal(
+                np.asarray(nfe[2 * s : 2 * s + 2]),
+                np.asarray(solve2(y0[2 * s : 2 * s + 2], p)))
+
+        def loss_single(p):
+            return jnp.sum(odeint_per_sample(_f, y0, 0.0, 1.0, p, **kw).y1
+                           ** 2)
+
+        def shard_grad(p, y0s):
+            # DP gradient: with replicated params inside shard_map,
+            # jax.grad returns the invariant (= already all-reduced)
+            # gradient — no explicit psum needed.
+            local = lambda pp: jnp.sum(
+                odeint_per_sample(_f, y0s, 0.0, 1.0, pp, **kw).y1 ** 2)
+            return jax.grad(local)(p)
+
+        g_ref = jax.jit(jax.grad(loss_single))(p)
+        g_dp = jax.jit(jax.shard_map(
+            shard_grad, mesh=mesh,
+            in_specs=(P(), P("data", None)), out_specs=P(),
+        ))(par.replicate(mesh, p), par.shard_batch(mesh, y0))
+        np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_per_sample_dp_sde(self):
+        """SDE counterpart: per-trajectory controllers + independent
+        Brownian paths shard over the mesh with finite, deadlock-free
+        adjoint and scan gradients (the scan body's done lanes execute a
+        discarded step; dt_eff=0 there would turn d(sqrt(dt)) into
+        0*inf=NaN — regression for the sanitized synthetic carry)."""
+        from regneuralde_tpu.ops import sdeint_per_sample
+
+        mesh = par.make_mesh(8)
+        y0 = jax.random.normal(jax.random.PRNGKey(0), (16, 4))
+        p = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (4, 4))
+        key = jax.random.PRNGKey(3)
+
+        def diff(t, y, pp):
+            return 0.1 * jnp.ones_like(y)
+
+        for mode in ("scan", "adjoint"):
+            kw = dict(rtol=1e-2, atol=1e-2, max_steps=64, mode=mode)
+
+            def shard_grad(p, y0s):
+                local = lambda pp: jnp.sum(sdeint_per_sample(
+                    _f, diff, y0s, 0.0, 1.0, pp, key=key, **kw).y1 ** 2)
+                return jax.grad(local)(p)
+
+            g = jax.jit(jax.shard_map(
+                shard_grad, mesh=mesh,
+                in_specs=(P(), P("data", None)), out_specs=P(),
+            ))(par.replicate(mesh, p), par.shard_batch(mesh, y0))
+            assert np.isfinite(np.asarray(g)).all(), mode
+
+
 class TestDPTraining:
     def test_dp_train_step_runs_and_descends(self):
         mesh = par.make_mesh(8)
