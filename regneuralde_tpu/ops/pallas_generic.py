@@ -47,9 +47,13 @@ from regneuralde_tpu.ops.tableaus import TSIT5
 
 def dotH(a, b):
     """MXU contraction at float32-accurate precision; the embedded error
-    is a 5th-order cancellation and bf16 noise would floor it."""
+    is a 5th-order cancellation and bf16 noise would floor it.
+    ``REGNDE_DOT_PRECISION`` (probe-only; see ops.pallas_mlp) lowers it
+    for matmul-pass-count timing ablations."""
+    from regneuralde_tpu.ops.pallas_mlp import _DOT_PRECISION
+
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_DOT_PRECISION)
 
 
 def _stage_algebra(apply_fn, rtol, atol):

@@ -37,6 +37,20 @@ from jax.experimental.pallas import tpu as pltpu
 from regneuralde_tpu.ops.math import tanh as _tanh
 from regneuralde_tpu.ops.tableaus import TSIT5
 
+# In-kernel MXU precision. HIGHEST (6-pass f32-accurate) is REQUIRED for
+# training: the embedded error estimate is a 5th-order cancellation and
+# lower precision floors it at rtol=1.4e-8 (see BASELINE.md round-2
+# numerics notes). REGNDE_DOT_PRECISION exists ONLY for perf probes
+# (tools/ablate_wholesolve.py) that measure the matmul-pass count's share
+# of kernel time; never set it in training or tests.
+import os as _os
+
+_DOT_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[_os.environ.get("REGNDE_DOT_PRECISION", "highest")]
+
 
 def _mlp_k(yi, ti, w1x, w1t, b1, w2h, w2t, b2):
     """k = tanh( [tanh([yi, ti] @ W1 + b1), ti] @ W2 + b2 ) with the time
@@ -45,12 +59,12 @@ def _mlp_k(yi, ti, w1x, w1t, b1, w2h, w2t, b2):
     tanh approximation would floor the embedded error estimate."""
     pre1 = (
         jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + ti * w1t + b1
+                precision=_DOT_PRECISION) + ti * w1t + b1
     )
     h = _tanh(pre1)
     pre2 = (
         jnp.dot(h, w2h, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + ti * w2t + b2
+                precision=_DOT_PRECISION) + ti * w2t + b2
     )
     return _tanh(pre2)
 
@@ -282,10 +296,10 @@ def _fused_bwd_kernel(
         yi = y + dt * acc
         ti = t + tab.c[i] * dt
         pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + ti * w1t + b1
+                precision=_DOT_PRECISION) + ti * w1t + b1
         h = _tanh(pre1)
         pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + ti * w2t + b2
+                precision=_DOT_PRECISION) + ti * w2t + b2
         ks.append(_tanh(pre2))
         yis.append(yi)
         hs.append(h)
@@ -322,7 +336,7 @@ def _fused_bwd_kernel(
         ct_pre2 = ct_ks[i] * (1.0 - k_i * k_i)
         cw2h = cw2h + jax.lax.dot_general(
             h_i, ct_pre2, contract_batch, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_DOT_PRECISION,
         )
         rows2 = jnp.sum(ct_pre2, axis=0, keepdims=True)
         cw2t = cw2t + ti * rows2
@@ -332,12 +346,12 @@ def _fused_bwd_kernel(
         ct_h = jax.lax.dot_general(
             ct_pre2, w2h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_DOT_PRECISION,
         )
         ct_pre1 = ct_h * (1.0 - h_i * h_i)
         cw1x = cw1x + jax.lax.dot_general(
             yi, ct_pre1, contract_batch, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_DOT_PRECISION,
         )
         rows1 = jnp.sum(ct_pre1, axis=0, keepdims=True)
         cw1t = cw1t + ti * rows1
@@ -347,7 +361,7 @@ def _fused_bwd_kernel(
         ct_yi = ct_yi_seed.get(i, 0.0) + jax.lax.dot_general(
             ct_pre1, w1x, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_DOT_PRECISION,
         )
         ct_y = ct_y + ct_yi
         acc = tab.a[i - 1][0] * ks[0]
@@ -623,10 +637,10 @@ def _make_normed_kernels(rtol: float, atol: float):
             yi = y + dt * stage_acc(i, ks)
             ti = t + tab.c[i] * dt
             pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST) + ti * w1t + b1
+                           precision=_DOT_PRECISION) + ti * w1t + b1
             h = _tanh(pre1)
             pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST) + ti * w2t + b2
+                           precision=_DOT_PRECISION) + ti * w2t + b2
             ks.append(_tanh(pre2))
             hs.append(h)
         y_new = y + dt * stage_acc(6, ks)
@@ -681,7 +695,7 @@ def _make_normed_kernels(rtol: float, atol: float):
             cw2h = cw2h + jax.lax.dot_general(
                 h_i, ct_pre2, contract_batch,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_DOT_PRECISION,
             )
             rows2 = jnp.sum(ct_pre2, axis=0, keepdims=True)
             cw2t = cw2t + ti * rows2
@@ -691,13 +705,13 @@ def _make_normed_kernels(rtol: float, atol: float):
             ct_h = jax.lax.dot_general(
                 ct_pre2, w2h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_DOT_PRECISION,
             )
             ct_pre1 = ct_h * (1.0 - h_i * h_i)
             cw1x = cw1x + jax.lax.dot_general(
                 yi, ct_pre1, contract_batch,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_DOT_PRECISION,
             )
             rows1 = jnp.sum(ct_pre1, axis=0, keepdims=True)
             cw1t = cw1t + ti * rows1
@@ -707,7 +721,7 @@ def _make_normed_kernels(rtol: float, atol: float):
             ct_yi = ct_yi_seed.get(i, 0.0) + jax.lax.dot_general(
                 ct_pre1, w1x, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_DOT_PRECISION,
             )
             ct_y = ct_y + ct_yi
             ct_dt = ct_dt + jnp.sum(ct_yi * acc) + tab.c[i] * ct_ti

@@ -65,14 +65,25 @@ i32 = jnp.int32
 
 # Timing-only ablations of the forward kernel, comma-separated in
 # REGNDE_WS_ABLATE: "nodma" skips the history stores/DMA, "notel" skips
-# the telemetry stream stores. Solves still produce the correct y1, but
-# the backward would read garbage history — set ONLY in perf probes
-# (tools/profile_flagship.py-style forward-timing ablations), never in
-# training or tests. Read at import time.
+# the telemetry stream stores, "fori:N" replaces the data-dependent
+# while_loop with a FIXED N-iteration fori_loop (probes whether the
+# per-step done-flag extraction — a vector->scalar pipeline sync — is
+# what separates the forward from the counter-driven backward). Solves
+# still produce the correct y1 (fori:N only if N >= the true step
+# count), but the backward would read garbage history — set ONLY in perf
+# probes, never in training or tests. Read at import time.
 import os as _os
 
 _ABLATE = frozenset(
     filter(None, _os.environ.get("REGNDE_WS_ABLATE", "").split(",")))
+
+
+def _ablate_fori() -> int:
+    """Fixed trip count requested via "fori:N", else 0 (use while)."""
+    for a in _ABLATE:
+        if a.startswith("fori:"):
+            return int(a.split(":")[1])
+    return 0
 
 def _pad128(d: int) -> int:
     return ((d + 127) // 128) * 128
@@ -304,7 +315,11 @@ def make_whole_solve(
                     jnp.asarray(ctrl.qoldinit, f32), jnp.asarray(0, i32),
                     jnp.asarray(0, i32), done0)
             init += ((cur0,) if n_save else ()) + (y0, f0r[:])
-            fin = lax.while_loop(cond, body, init)
+            nfix = _ablate_fori()
+            if nfix:  # timing probe: counter-driven loop, no done checks
+                fin = lax.fori_loop(0, nfix, lambda _, c: body(c), init)
+            else:
+                fin = lax.while_loop(cond, body, init)
             t, dt, qold, na, nr, done = fin[1:7]
             y = fin[-2]
             y1r[:] = y
