@@ -208,6 +208,42 @@ def measure_latent():
     return LATENT_BATCH * LATENT_MEASURE / dt, int(nfe)
 
 
+def run_tpu_regressions():
+    """Run tools/tpu_regressions.py in a subprocess; return pass/fail counts.
+
+    On-device gradient regressions (bf16 backward poisoning, fused-kernel
+    gradient parity) are invisible to the CPU test mesh; folding their
+    counts into the bench JSON means a TPU-only regression can never ship
+    behind a green suite and a plausible throughput number.
+    """
+    import re
+    import subprocess
+    import sys
+
+    if jax.default_backend() == "cpu":
+        return {"passed": 0, "failed": 0, "skipped": "cpu backend"}
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).parent / "tools"
+                                 / "tpu_regressions.py")],
+            capture_output=True, text=True, timeout=2400)
+    except subprocess.TimeoutExpired:
+        return {"passed": 0, "failed": -1, "error": "timeout"}
+    out = proc.stdout + proc.stderr
+    passed = len(re.findall(r"^PASS ", out, re.M))
+    failed = len(re.findall(r"^FAIL ", out, re.M))
+    res = {"passed": passed, "failed": failed}
+    if proc.returncode != 0 and failed == 0:
+        res["error"] = f"exit {proc.returncode}: {out[-300:]}"
+    return res
+
+
+# The flagship's accepted-step count at rtol=1.4e-8 with the accurate-tanh
+# dynamics. Pinned so a perf "win" can never come from silent step-count
+# drift: nfe != 224 makes the bench exit nonzero (after printing the JSON).
+EXPECTED_FLAGSHIP_NFE = 224
+
+
 def main():
     import numpy as np
 
@@ -230,17 +266,33 @@ def main():
 
     latent_sps, latent_nfe = measure_latent()
 
+    tpu_reg = run_tpu_regressions()
+    nfe_ok = int(nfe) == EXPECTED_FLAGSHIP_NFE
+
     print(json.dumps({
         "metric": "mnist_node_regularized_train_throughput",
         "value": round(samples_per_sec, 2),
         "unit": "samples/sec (batch 512, Tsit5 rtol=1.4e-8, reg on, "
                 f"nfe_per_step={int(nfe)})",
         "vs_baseline": round(samples_per_sec / CPU_BASELINE_SAMPLES_PER_SEC, 2),
+        "nfe_per_step": int(nfe),
+        "nfe_pin": {"expected": EXPECTED_FLAGSHIP_NFE, "ok": nfe_ok},
         "latent_ode_samples_per_sec": round(latent_sps, 2),
         "latent_ode_nfe_per_step": latent_nfe,
         "latent_ode_vs_baseline": round(
             latent_sps / LATENT_CPU_BASELINE_SAMPLES_PER_SEC, 2),
+        "tpu_regressions": tpu_reg,
     }))
+    if not nfe_ok:
+        import sys
+        print(f"NFE PIN VIOLATION: flagship nfe {int(nfe)} != "
+              f"{EXPECTED_FLAGSHIP_NFE} — throughput not comparable to "
+              "prior rounds", file=sys.stderr)
+        sys.exit(1)
+    if tpu_reg.get("failed"):
+        import sys
+        print(f"TPU REGRESSIONS FAILED: {tpu_reg}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -431,18 +431,23 @@ class _AdjointHist(NamedTuple):
     # replay: recomputing func(t, y) instead would differ from the carried
     # k7 by rounding, and 1/tol amplification through the EEst chain turns
     # those ulps into visible gradient noise)
+    # Composite switching state (alg, run, n_stiff) at each step START —
+    # () for plain solvers.
+    aux: Any = ()
 
 
 def _make_adjoint_solve(
     func, tab, ctrl, rtol, atol, has_saveat, axis_name, stage_sweep,
     max_steps, time_dtype, err_dtype, bwd_precision,
+    step_builder=None, aux0=(),
 ):
     """Build the custom_vjp'd solve for one (static-config) odeint call.
 
     The returned callable maps
       (t0, t1, dt_init, y0, f0_init, ys_buf_init, saveat, args)
     to
-      (y1, ys_buf, telemetry, t_f, dt_f, qold_f, naccept, nreject, done).
+      (y1, ys_buf, telemetry, t_f, dt_f, qold_f, naccept, nreject, done,
+       aux_f).
 
     ``saveat`` is threaded as an explicit argument (``()`` when
     ``has_saveat`` is false) rather than captured in the closure: under
@@ -451,10 +456,23 @@ def _make_adjoint_solve(
     when the backward is traced (UnexpectedTracerError). Its cotangent is
     accumulated through the replay vjp like the args', so d(loss)/d(saveat)
     matches mode="scan".
+
+    ``step_builder(t0, t1, saveat, args) -> step_fn`` overrides the
+    default single-tableau step — the Auto* stiffness-switching composite
+    plugs in here. Its integer switching state ``(alg, run, n_stiff)``
+    rides ``carry.aux`` (template ``aux0``), is recorded per trial step in
+    the adjoint history, and is replayed into each backward step so the
+    vjp differentiates through the SAME branch the forward took
+    (reference: the AutoTsit5 composite trained through,
+    experiments/mnist_node.jl:70-81). ``aux_f`` is the final aux
+    (``()`` for plain solvers) — n_stiff feeds NFE accounting.
     """
     tdir_of = lambda t0, t1: jnp.sign(t1 - t0)
 
     def make_step(t0, t1, saveat, args):
+        if step_builder is not None:
+            return step_builder(t0, t1, saveat if has_saveat else None,
+                                args)
         tdir = tdir_of(t0, t1)
         span = jnp.abs(t1 - t0)
         step_fn, _ = _make_step_fn(
@@ -464,9 +482,11 @@ def _make_adjoint_solve(
         )
         return step_fn
 
-    def replay(t, dt, qold, y, f0, ys_buf, t0, t1, saveat, args):
+    def replay(t, dt, qold, y, f0, ys_buf, aux, t0, t1, saveat, args):
         """One trial step from the stored step-start carry (incl. the FSAL
-        derivative), bitwise identical to the forward's step."""
+        derivative and any composite switching state), bitwise identical
+        to the forward's step. ``aux`` is integer state — its cotangent is
+        float0 and dropped by the caller."""
         carry = _Carry(
             t=t, dt=dt, qold=qold, y=y, f0=f0,
             done=jnp.asarray(False),
@@ -474,6 +494,7 @@ def _make_adjoint_solve(
             naccept=jnp.asarray(0, jnp.int32),
             nreject=jnp.asarray(0, jnp.int32),
             ys_buf=ys_buf,
+            aux=aux,
         )
         new, tel = make_step(t0, t1, saveat, args)(carry)
         return (new.t, new.dt, new.qold, new.y, new.f0, new.ys_buf,
@@ -505,6 +526,7 @@ def _make_adjoint_solve(
             qold=jnp.zeros((max_steps,), err_dtype),
             y=buf_like(y0),
             f0=buf_like(f0_init),
+            aux=buf_like(aux0),
         )
         init = _Carry(
             t=t0, dt=dt_init,
@@ -515,6 +537,7 @@ def _make_adjoint_solve(
             naccept=jnp.asarray(0, jnp.int32),
             nreject=jnp.asarray(0, jnp.int32),
             ys_buf=ys_buf_init,
+            aux=aux0,
         )
         # Per-shard-independent solves under shard_map (see _stamp_like).
         if axis_name is None:
@@ -538,6 +561,7 @@ def _make_adjoint_solve(
                 qold=hist.qold.at[i].set(carry.qold),
                 y=set_row(hist.y, carry.y),
                 f0=set_row(hist.f0, carry.f0),
+                aux=set_row(hist.aux, carry.aux),
             )
             carry2, out = step_fn(carry)
             tel2 = StepTelemetry(*[b.at[i].set(o) for b, o in zip(tel, out)])
@@ -545,7 +569,7 @@ def _make_adjoint_solve(
 
         final, tel, hist = lax.while_loop(cond, body, (init, tel0, hist0))
         outs = (final.y, final.ys_buf, tel, final.t, final.dt, final.qold,
-                final.naccept, final.nreject, final.done)
+                final.naccept, final.nreject, final.done, final.aux)
         return outs, hist
 
     @jax.custom_vjp
@@ -578,7 +602,7 @@ def _make_adjoint_solve(
     def _solve_bwd_impl(res, cts):
         hist, nsteps, t0, t1, y0, f0_init, ys_buf_init, saveat, args = res
         (ct_y1, ct_ysbuf, ct_tel, ct_tf, ct_dtf, ct_qoldf,
-         _ct_na, _ct_nr, _ct_done) = cts
+         _ct_na, _ct_nr, _ct_done, _ct_aux) = cts
 
         def zlike(tree):
             return jax.tree_util.tree_map(jnp.zeros_like, tree)
@@ -618,10 +642,10 @@ def _make_adjoint_solve(
             prim = (
                 hist.t[i], hist.dt[i], hist.qold[i],
                 row(hist.y), row(hist.f0),
-                ys_zero, t0, t1, saveat, args,
+                ys_zero, row(hist.aux), t0, t1, saveat, args,
             )
             _, vjp_fn = jax.vjp(replay, *prim)
-            (d_t, d_dt, d_qold, d_y, d_f0, d_ys, d_t0, d_t1, d_sa,
+            (d_t, d_dt, d_qold, d_y, d_f0, d_ys, _d_aux, d_t0, d_t1, d_sa,
              d_args) = vjp_fn(
                 (ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys,
                  ct_tel_t[i], ct_tel_dt[i], ct_tel_eest[i], ct_tel_eig[i])
@@ -1122,11 +1146,15 @@ def odeint(
             raise ValueError(
                 f"unknown composite {solver!r}; use "
                 "'auto_<tsit5|dopri5|bosh3>_rosenbrock23'")
-        if mode not in ("scan", "while"):
+        if mode not in ("scan", "while", "adjoint"):
             raise ValueError(
-                "auto_* composites support mode='scan' (differentiable) "
-                "or 'while'; the custom-vjp adjoint engines do not carry "
-                "the switching state")
+                "auto_* composites support mode='adjoint' (training fast "
+                "path; switching state rides the adjoint history), "
+                "'scan' (oracle) or 'while'")
+        if mode == "adjoint" and (stage_sweep is not None
+                                  or stage_sweep_bwd is not None):
+            raise ValueError(
+                "auto_* composites provide their own stage sweeps")
         if stage_sweep is not None or stage_sweep_bwd is not None:
             raise ValueError(
                 "auto_* composites provide their own stage sweeps")
@@ -1228,6 +1256,8 @@ def odeint(
 
     if mode == "adjoint":
         fast = stage_sweep is not None and stage_sweep_bwd is not None
+        if auto_composite:
+            fast = False
         if fast:
             solve = _make_fast_adjoint_solve(
                 stage_sweep, stage_sweep_bwd, ctrl, max_steps,
@@ -1250,18 +1280,47 @@ def odeint(
                 stats=stats,
                 telemetry=tel,
             )
+        step_builder = None
+        aux0 = ()
+        if auto_composite:
+            from regneuralde_tpu.ops.rosenbrock import (
+                ROSENBROCK23, make_rosenbrock23_sweep)
+
+            ctrl_st = controller or PIController.for_order(
+                ROSENBROCK23.order)
+
+            def step_builder(t0_, t1_, saveat_, args_):
+                tdir_ = jnp.sign(t1_ - t0_)
+                span_ = jnp.abs(t1_ - t0_)
+                s_ns, n_ns = _make_step_fn(
+                    func, args_, tab, ctrl, t1_, tdir_, span_, rtol, atol,
+                    saveat_, axis_name, stage_sweep=None)
+                s_st, _ = _make_step_fn(
+                    func, args_, ROSENBROCK23, ctrl_st, t1_, tdir_, span_,
+                    rtol, atol, saveat_, axis_name,
+                    stage_sweep=make_rosenbrock23_sweep(func))
+                s, _ = _make_auto_step(s_ns, n_ns, s_st,
+                                       tab.stability_size)
+                return s
+
+            zero_i = jnp.asarray(0, jnp.int32)
+            aux0 = (zero_i, zero_i, zero_i)
         solve = _make_adjoint_solve(
             func, tab, ctrl, rtol, atol, saveat is not None, axis_name,
             stage_sweep, max_steps, time_dtype, err_dtype, _bwd_precision,
+            step_builder=step_builder, aux0=aux0,
         )
         ys_init = ys_buf if ys_buf is not None else ()
         sa_arg = saveat if saveat is not None else ()
-        (y1, ys_out, tel, _tf, _dtf, _qoldf, naccept, nreject, done) = solve(
-            t0, t1, init.dt, y0, f_init, ys_init, sa_arg, args
-        )
+        (y1, ys_out, tel, _tf, _dtf, _qoldf, naccept, nreject, done,
+         aux_f) = solve(t0, t1, init.dt, y0, f_init, ys_init, sa_arg, args)
         nsteps = naccept + nreject
+        nfe = (jnp.asarray(nfe_init, jnp.int32)
+               + (tab.num_stages - 1) * nsteps)
+        if auto_composite:
+            nfe = nfe + (n_stages_stiff - tab.num_stages) * aux_f[2]
         stats = ODEStats(
-            nfe=jnp.asarray(nfe_init, jnp.int32) + (tab.num_stages - 1) * nsteps,
+            nfe=nfe,
             naccept=naccept,
             nreject=nreject,
             success=done,

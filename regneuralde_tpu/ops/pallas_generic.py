@@ -56,36 +56,75 @@ def dotH(a, b):
                    precision=_DOT_PRECISION)
 
 
+# Timing-only ablations of the trial-step ALGEBRA, comma-separated in
+# REGNDE_ALG_ABLATE (or monkey-patched by tools/ablate_interleaved.py;
+# read at trace time). These produce WRONG solver math — their only use
+# is attributing the forward kernel's per-step cost to named ops. Legs:
+#   "nolincomb"  stage input = y + dt*a[i][0]*k_prev (one FMA, not the
+#                full lower-triangular combination)
+#   "stages:N"   run N dynamics evaluations instead of 6
+#   "noerr"      skip the embedded-error combination + the three
+#                (batch, dim)->scalar reductions; constants keep the
+#                controller chain alive
+#   "noapply"    replace the dynamics evaluation with 0.999*y_stage
+#                (keeps the loop-carried dependency, drops matmuls+tanh)
+# Pair every leg with the whole-solve "fori:N" knob — wrong math changes
+# the while-loop trip count, which would confound the timing.
+import os as _os
+
+_ALG_ABLATE = frozenset(
+    filter(None, _os.environ.get("REGNDE_ALG_ABLATE", "").split(",")))
+
+
+def _alg_num_stages() -> int:
+    for a in _ALG_ABLATE:
+        if a.startswith("stages:"):
+            return int(a.split(":")[1])
+    return 6
+
+
 def _stage_algebra(apply_fn, rtol, atol):
     """The full trial-step math as a plain function of loaded values:
     (t, dt, y, k1, leaves) -> (y_new, k7, err_ssq, num_ssq, den_ssq).
     Used verbatim inside both kernels, as the XLA fallback, and as the
     test oracle."""
     tab = TSIT5
+    ablate = _ALG_ABLATE
+    n_stages = _alg_num_stages()
 
     def algebra(t, dt, y, k1, leaves):
         ks = [k1]
         y_stage = y
         g6 = y
-        for i in range(1, 7):
-            acc = tab.a[i - 1][0] * ks[0]
-            for c, k in zip(tab.a[i - 1][1:], ks[1:]):
-                if c != 0.0:
-                    acc = acc + c * k
+        for i in range(1, n_stages + 1):
+            if "nolincomb" in ablate:
+                acc = tab.a[i - 1][0] * ks[-1]
+            else:
+                acc = tab.a[i - 1][0] * ks[0]
+                for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+                    if c != 0.0:
+                        acc = acc + c * k
             y_stage = y + dt * acc
-            ks.append(apply_fn(t + tab.c[i] * dt, y_stage, leaves))
+            if "noapply" in ablate:
+                ks.append(0.999 * y_stage)
+            else:
+                ks.append(apply_fn(t + tab.c[i] * dt, y_stage, leaves))
             if i == 5:
                 g6 = y_stage
         y_new = y_stage  # FSAL: b row == last a row
+        if "noerr" in ablate:
+            half = jnp.asarray(0.25, y.dtype) * (dt / dt)
+            return (y_new, ks[-1], half * float(y.shape[0] * y.shape[1]),
+                    half, half * 2.0)
         err = tab.btilde[1] * (ks[1] - ks[0])
         for c, k in zip(tab.btilde[2:], ks[2:]):
             err = err + c * (k - ks[0])
         err = dt * err
         denom = atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol
         scaled = err / denom
-        dk = ks[6] - ks[5]
+        dk = ks[-1] - ks[-2]
         dg = y_new - g6
-        return (y_new, ks[6], jnp.sum(scaled * scaled),
+        return (y_new, ks[-1], jnp.sum(scaled * scaled),
                 jnp.sum(dk * dk), jnp.sum(dg * dg))
 
     return algebra

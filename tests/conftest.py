@@ -19,6 +19,36 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Inner-loop subset: `pytest -m fast` runs the suite minus the
+# compile-heavy modules below (whole-solve kernels, per-sample vmap
+# engines, mesh tests, experiment subprocess smokes) and finishes in
+# well under 5 minutes. Full-suite coverage is unchanged — marks only
+# partition, they never skip by default.
+_SLOW_MODULES = {
+    "test_whole_solve",
+    "test_sde_whole_solve",
+    "test_pallas_fused",
+    "test_pallas_generic",
+    "test_per_sample",
+    "test_parallel",
+    "test_tensor_parallel",
+    "test_experiments_smoke",
+    "test_rosenbrock",
+    "test_nfe_parity",
+    "test_adjoint",
+    "test_sde",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)

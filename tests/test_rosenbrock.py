@@ -306,11 +306,57 @@ class TestAutoSwitch:
             # Different accepted-step sequences -> close, not equal.
             np.testing.assert_allclose(float(g_auto), float(g_rb), rtol=1e-4)
 
-    def test_adjoint_mode_raises(self):
-        with pytest.raises(ValueError, match="scan"):
-            odeint(rob, jnp.asarray(ROB_Y0), 0.0, 1.0, ROB_ARGS,
-                   solver="auto_tsit5_rosenbrock23", rtol=1e-4, atol=1e-6,
-                   max_steps=32, mode="adjoint")
+    def test_adjoint_gradient_matches_scan_on_switched_solve(self):
+        """mode="adjoint" through the composite: the switching state
+        (alg, run, n_stiff) rides the adjoint history, so the backward
+        replays each trial step through the SAME arm the forward took —
+        gradients must match the scan oracle on a solve that actually
+        switches (round-4 capability; reference: the AutoTsit5 composite
+        trained through, experiments/mnist_node.jl:70-81)."""
+        with jax.enable_x64():
+            y0 = jnp.asarray(ROB_Y0, jnp.float64)
+
+            def loss(k1, mode):
+                s = odeint(rob, y0, 0.0, 100.0, (k1, 3e7, 1e4),
+                           solver="auto_tsit5_rosenbrock23", rtol=1e-8,
+                           atol=1e-10, max_steps=2048, mode=mode)
+                return s.y1[2]
+
+            # Same engine-independent solve: step sequences are identical,
+            # so gradients agree to replay rounding, not just statistics.
+            g_adj = jax.grad(lambda k: loss(k, "adjoint"))(0.04)
+            g_scan = jax.grad(lambda k: loss(k, "scan"))(0.04)
+            np.testing.assert_allclose(float(g_adj), float(g_scan),
+                                       rtol=1e-9)
+            # And the forward stats agree (the switch fired identically).
+            s_adj = odeint(rob, y0, 0.0, 100.0, ROB_ARGS,
+                           solver="auto_tsit5_rosenbrock23", rtol=1e-8,
+                           atol=1e-10, max_steps=2048, mode="adjoint")
+            s_while = odeint(rob, y0, 0.0, 100.0, ROB_ARGS,
+                             solver="auto_tsit5_rosenbrock23", rtol=1e-8,
+                             atol=1e-10, max_steps=2048, mode="while")
+            assert int(s_adj.stats.nfe) == int(s_while.stats.nfe)
+            assert bool(s_adj.stats.success)
+
+    def test_adjoint_equals_tsit5_on_nonstiff(self):
+        """No switch on a smooth problem: composite adjoint-mode forward
+        is BITWISE plain Tsit5's, and gradients flow."""
+        def f(t, y, args):
+            return -y * args
+
+        y0 = jnp.linspace(0.5, 1.5, 8)
+        kw = dict(rtol=1e-7, atol=1e-7, max_steps=64, mode="adjoint")
+        s_auto = odeint(f, y0, 0.0, 1.0, 1.0,
+                        solver="auto_tsit5_rosenbrock23", **kw)
+        s_ts = odeint(f, y0, 0.0, 1.0, 1.0, solver="tsit5", **kw)
+        assert int(s_auto.stats.nfe) == int(s_ts.stats.nfe)
+        assert bool(jnp.all(s_auto.y1 == s_ts.y1))
+        g = jax.grad(lambda a: jnp.sum(odeint(
+            f, y0, 0.0, 1.0, a, solver="auto_tsit5_rosenbrock23",
+            **kw).y1 ** 2))(1.0)
+        g_ts = jax.grad(lambda a: jnp.sum(odeint(
+            f, y0, 0.0, 1.0, a, solver="tsit5", **kw).y1 ** 2))(1.0)
+        np.testing.assert_allclose(float(g), float(g_ts), rtol=1e-6)
 
     def test_unknown_composite_raises(self):
         with pytest.raises(ValueError, match="auto_"):

@@ -10,11 +10,22 @@ round-robins the variants:
   fwd_kernel   scan42 of the step-level fused normed forward kernel
   bwd_kernel   scan42 of the step-level fused backward kernel
   xla_sweep    scan42 of the plain-XLA _reference_normed_sweep
-  xla_vjpstep  scan42 of jax.vjp(trial-step math) pullbacks in plain XLA
+  xla_fwdbwd   scan42 of jax.vjp(trial-step math) in plain XLA — NOTE:
+               each iteration re-executes the primal forward AND the
+               pullback, so its per-step cost is fwd+bwd; subtract
+               xla_sweep's per-step time to estimate the backward-only
+               share before comparing against bwd_kernel.
 
 If bwd_kernel ~= fwd_kernel per step, the earlier 52us/step backward
 inference was a timing artifact. If bwd is genuinely cheaper, the
 forward kernel leaves real time on the table.
+
+Precision note: all contractions in the kernels and in
+_reference_normed_sweep carry explicit precision=HIGHEST (see the
+"PRECISION IS LOAD-BEARING" comment in ops/pallas_mlp.py), so no
+default_matmul_precision context is needed here — and one wrapped
+around jit() construction would be a no-op anyway (tracing happens at
+first call).
 """
 import json
 import sys
@@ -51,10 +62,13 @@ def main():
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, D)) * 0.5
     p = m.init(key, x, 0.0)
+    t0_val = 0.1
+    # FSAL seed evaluated at the same t0 the sweeps step from, so the
+    # (y, k1) pair is numerically consistent.
     k1 = jax.jit(lambda t, yy, pp: m.apply(pp, yy, t))(
-        jnp.float32(0.0), x, p)
+        jnp.float32(t0_val), x, p)
     parts = _split_params(p)
-    t0 = jnp.float32(0.1)
+    t0 = jnp.float32(t0_val)
     dt = jnp.float32(0.02)
     cts = (x * 0.1, k1 * 0.1, jnp.float32(1.0), jnp.float32(1.0),
            jnp.float32(1.0))
@@ -96,13 +110,15 @@ def main():
         (yf, _), es = jax.lax.scan(body, (y, k), None, length=N)
         return yf, es
 
-    with jax.default_matmul_precision("highest"):
-        fns = {
-            "fwd_kernel": jax.jit(scan_fwd),
-            "bwd_kernel": jax.jit(scan_bwd),
-            "xla_sweep": jax.jit(scan_xla),
-            "xla_vjpstep": jax.jit(scan_xla_vjp),
-        }
+    # Matmul precision is pinned explicitly (HIGHEST) inside every
+    # contraction these programs execute (ops/pallas_mlp.py), so no
+    # ambient precision context is required — see module docstring.
+    fns = {
+        "fwd_kernel": jax.jit(scan_fwd),
+        "bwd_kernel": jax.jit(scan_bwd),
+        "xla_sweep": jax.jit(scan_xla),
+        "xla_fwdbwd": jax.jit(scan_xla_vjp),
+    }
 
     sync = lambda r: float(np.asarray(jax.tree_util.tree_leaves(r)[0]
                                       ).ravel()[0])

@@ -4,25 +4,38 @@ The one-leg-per-process protocol (tools/ablate_wholesolve.py) turned out
 to be noise-dominated: identical kernels measured 185 vs 248 us/step in
 different processes (tunnel/chip drift), swamping the ~30-50 us effects
 under study. This runner builds every variant in ONE process (the ablate
-flag and the dot-precision knob are monkey-patched between builds — both
-are read at trace time), compiles them all, then measures in ROUND-ROBIN:
-each round times every variant once, and the per-variant median over
-rounds cancels slow drift. Differences between variants within a round
-share the same chip state.
+flags, tanh implementation, and dot-precision knob are monkey-patched
+between builds — all are read at trace time), compiles them all, then
+measures in ROUND-ROBIN: each round times every variant once, and the
+per-variant median over rounds cancels slow drift.
 
-Variants:
-  base          the shipped forward kernel (HIGHEST dots)
-  nodma         history stores + async HBM copies removed
-  notel         telemetry stream stores removed
-  none          both removed (compute + controller only)
-  high / deflt  dot precision lowered (3-pass / bf16) via
-                REGNDE_DOT_PRECISION's module knob
+Round-3 legs (history DMA, telemetry stores, while-cond sync, dot
+precision) each measured <3% of forward time, so round 4 ablates the
+TRIAL-STEP COMPUTE itself until >=90% of forward time is attributed:
 
-Timing-only (nodma breaks the backward); gradients are never taken here.
+  base          the shipped forward kernel (while loop, HIGHEST dots)
+  fori          counter-driven loop at the true trip count (42)
+  f_nattanh     accurate exp-based tanh -> native jnp.tanh
+  f_notanh      tanh -> identity (no activation at all)
+  f_nolincomb   stage input = y + dt*c*k_prev (one FMA per stage)
+  f_stages3     3 dynamics evaluations per step instead of 6
+  f_noerr       no embedded-error combination / scalar reductions
+  f_noapply     dynamics eval -> 0.999*y_stage (no matmuls, no tanh)
+  f_skeleton    noapply+nolincomb+noerr+nodma+notel: loop + controller
+  deflt         dot precision lowered to bf16 (DEFAULT)
+  grad          full fwd+bwd gradient of the unablated solve (while
+                mode) — bwd cost = grad minus base
+
+All f_* legs pin the trip count with fori:42 because wrong math changes
+the while-loop's step sequence. Timing-only; gradients are never taken
+through ablated programs.
 """
 import json
+import sys
 import time
 from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +45,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import numpy as np
 
+import regneuralde_tpu.ops.pallas_generic as pg
 import regneuralde_tpu.ops.pallas_mlp as pm
 import regneuralde_tpu.ops.pallas_solve as ps
 from regneuralde_tpu.models import MLPDynamics, NeuralODE
@@ -40,26 +54,43 @@ B, D, H = 512, 784, 100
 RT = 1.4e-8
 ROUNDS = 7
 INNER = 10
+FIXED = "fori:42"
 
+# (name, ws_ablate, alg_ablate, precision, tanh, grad)
 VARIANTS = [
-    ("base", frozenset(), "highest"),
-    ("nodma", frozenset({"nodma"}), "highest"),
-    ("notel", frozenset({"notel"}), "highest"),
-    ("none", frozenset({"nodma", "notel"}), "highest"),
-    # Precision.HIGH does not lower in Mosaic ("Unsupported dot
-    # precision"); only the bf16 DEFAULT is probed against HIGHEST.
-    ("deflt", frozenset(), "default"),
-    # Counter-driven loop at the true trip count (42 at this shape/seed):
-    # isolates the per-step done-flag vector->scalar sync of the while
-    # cond, the one structural difference from the backward's fori walk.
-    ("fori", frozenset({"fori:42"}), "highest"),
-    ("fori_none", frozenset({"fori:42", "nodma", "notel"}), "highest"),
+    ("base", frozenset(), frozenset(), "highest", "accurate", False),
+    ("fori", frozenset({FIXED}), frozenset(), "highest", "accurate", False),
+    ("f_nattanh", frozenset({FIXED}), frozenset(), "highest", "native",
+     False),
+    ("f_notanh", frozenset({FIXED}), frozenset(), "highest", "identity",
+     False),
+    ("f_nolincomb", frozenset({FIXED}), frozenset({"nolincomb"}),
+     "highest", "accurate", False),
+    ("f_stages3", frozenset({FIXED}), frozenset({"stages:3"}), "highest",
+     "accurate", False),
+    ("f_noerr", frozenset({FIXED}), frozenset({"noerr"}), "highest",
+     "accurate", False),
+    ("f_noapply", frozenset({FIXED}), frozenset({"noapply"}), "highest",
+     "accurate", False),
+    ("f_skeleton", frozenset({FIXED, "nodma", "notel"}),
+     frozenset({"noapply", "nolincomb", "noerr"}), "highest", "accurate",
+     False),
+    ("deflt", frozenset({FIXED}), frozenset(), "default", "accurate",
+     False),
+    ("grad", frozenset(), frozenset(), "highest", "accurate", True),
 ]
 
 PREC = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
+}
+
+_ACCURATE_TANH = pm._tanh
+TANH = {
+    "accurate": _ACCURATE_TANH,
+    "native": jnp.tanh,
+    "identity": lambda x: x,
 }
 
 
@@ -70,38 +101,49 @@ def main():
     p = m.init(key, x, 0.0)
     node = NeuralODE(m, rtol=RT, atol=RT, max_steps=96, fused="solve")
 
-    sync = lambda r: float(np.asarray(r).ravel()[0])
+    sync = lambda r: float(np.asarray(jax.tree_util.tree_leaves(r)[0]
+                                      ).ravel()[0])
     fns = {}
-    for name, ablate, prec in VARIANTS:
-        ps._ABLATE = ablate
+    for name, ws_ab, alg_ab, prec, tanh, grad in VARIANTS:
+        ps._ABLATE = ws_ab
+        pg._ALG_ABLATE = alg_ab
         pm._DOT_PRECISION = PREC[prec]
-        fn = jax.jit(lambda pp, xx, _n=name: node(pp, xx,
-                                                  mode="adjoint").value)
-        sync(fn(p, x))  # compile now, under the patched knobs
-        fns[name] = fn
+        pm._tanh = TANH[tanh]
+        if grad:
+            fn = jax.jit(jax.grad(
+                lambda pp: jnp.sum(node(pp, x, mode="adjoint").value ** 2)))
+            sync(fn(p))
+            fns[name] = (fn, (p,))
+        else:
+            fn = jax.jit(lambda pp, xx: node(pp, xx, mode="adjoint").value)
+            sync(fn(p, x))
+            fns[name] = (fn, (p, x))
         print(f"compiled {name}", flush=True)
     ps._ABLATE = frozenset()
+    pg._ALG_ABLATE = frozenset()
     pm._DOT_PRECISION = PREC["highest"]
+    pm._tanh = _ACCURATE_TANH
 
     nfe = int(jax.jit(lambda pp, xx: node(pp, xx, mode="while").nfe)(p, x))
     steps = (nfe - 2) // 6
 
-    times = {name: [] for name, _, _ in VARIANTS}
+    times = {name: [] for name, *_ in VARIANTS}
     for r in range(ROUNDS):
-        for name, _, _ in VARIANTS:
-            fn = fns[name]
-            sync(fn(p, x))  # re-warm this program on the queue
+        for name, *_ in VARIANTS:
+            fn, args = fns[name]
+            sync(fn(*args))  # re-warm this program on the queue
             t0 = time.perf_counter()
             for _ in range(INNER):
-                out = fn(p, x)
+                out = fn(*args)
             sync(out)
             times[name].append((time.perf_counter() - t0) / INNER * 1e3)
 
-    out = {"trial_steps": steps, "rounds": ROUNDS}
-    for name, _, _ in VARIANTS:
+    out = {"trial_steps": steps, "fixed_steps": 42, "rounds": ROUNDS}
+    for name, ws_ab, *_ in VARIANTS:
         med = float(np.median(times[name]))
+        n = 42 if any(a.startswith("fori") for a in ws_ab) else steps
         out[name + "_ms"] = round(med, 3)
-        out[name + "_us_per_step"] = round(med / steps * 1e3, 1)
+        out[name + "_us_per_step"] = round(med / n * 1e3, 1)
         out[name + "_spread"] = round(
             float(np.max(times[name]) - np.min(times[name])), 3)
     print(json.dumps(out))

@@ -21,12 +21,14 @@ import numpy as np
 from regneuralde_tpu.ops import odeint
 
 failures = 0
+passes = 0
 
 
 def check(name, fn):
-    global failures
+    global failures, passes
     try:
         fn()
+        passes += 1
         print(f"PASS {name}")
     except Exception as e:  # noqa: BLE001 - report-and-continue runner
         failures += 1
@@ -143,14 +145,29 @@ def per_sample_on_device():
                                rtol=1e-3, atol=1e-5)
 
 
-if __name__ == "__main__":
-    print("devices:", jax.devices())
-    if jax.default_backend() == "cpu":
-        print("WARNING: running on CPU — these checks target the TPU")
+def run_all():
+    """Run every on-device regression; returns ``(passed, failed)``.
+
+    Called by ``bench.py`` so the driver's BENCH_r*.json records a
+    ``tpu_regressions`` pass/fail count — a TPU-only gradient-poisoning
+    regression can then never ship behind a green CPU suite (the
+    reference's warm-start-gradient fail-fast role,
+    /root/reference/experiments/mnist_node.jl:201-216).
+    """
+    global failures, passes
+    failures = passes = 0
     check("adjoint_grads_survive_accelerator_precision", adjoint_precision)
     check("whole_solve_grads_match_scan_on_device", whole_solve_grads)
     check("sde_whole_solve_grads_match_unfused_on_device",
           sde_whole_solve_grads)
     check("per_sample_lane_parity_and_grads_on_device",
           per_sample_on_device)
+    return passes, failures
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices())
+    if jax.default_backend() == "cpu":
+        print("WARNING: running on CPU — these checks target the TPU")
+    run_all()
     sys.exit(1 if failures else 0)
