@@ -57,6 +57,14 @@ def parse_args(default_config: str) -> argparse.Namespace:
     p.add_argument("--steer", type=lambda s: s.lower() == "true", default=None)
     p.add_argument("--max-steps", type=int, default=None,
                    help="solver trial-step bound")
+    p.add_argument("--rtol", type=float, default=None,
+                   help="override the solver's relative tolerance (the "
+                        "reference hard-codes per-script tolerances; this "
+                        "exists for conditioning studies, e.g. a latent-ODE "
+                        "regime where the f32 error estimate is above the "
+                        "cancellation noise floor)")
+    p.add_argument("--atol", type=float, default=None,
+                   help="override the solver's absolute tolerance")
     p.add_argument("--lam-r0", type=float, default=None,
                    help="override the solver-regularizer lambda schedule start")
     p.add_argument("--lam-r1", type=float, default=None,

@@ -82,8 +82,8 @@ def main():
         AlternatingMLP(dim=20, hidden=50, depth=4),
         time_dep=False,
         solver="tsit5",
-        rtol=1.4e-8,
-        atol=1.4e-8,
+        rtol=args.rtol if args.rtol is not None else 1.4e-8,
+        atol=args.atol if args.atol is not None else 1.4e-8,
         max_steps=max_steps,
         saveat=saveat,
         # Fused Pallas trial step (generic builder) on accelerators.

@@ -86,8 +86,8 @@ def main():
         tspan=(0.0, 1.0),
         time_dep=True,
         solver="tsit5",
-        rtol=1.4e-8,
-        atol=1.4e-8,
+        rtol=args.rtol if args.rtol is not None else 1.4e-8,
+        atol=args.atol if args.atol is not None else 1.4e-8,
         max_steps=max_steps,
         axis_name=axis_name,
         # Fused Pallas trial step on accelerators; composes with data

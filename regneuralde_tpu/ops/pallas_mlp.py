@@ -532,6 +532,165 @@ def mlp_dynamics_stage_sweep(t, dt, y, k1, params):
 # ---------------------------------------------------------------------------
 
 
+def _normed_bwd_math(t, dt, y, k1, parts, cts, rtol, atol):
+    """Hand-derived backward of the NORMED Tsit5 stage algebra over
+    MLPDynamics, as a pure function of loaded values.
+
+    Maps the cotangents ``cts = (ct_y_new, ct_k7, ct_err_ssq, ct_num_ssq,
+    ct_den_ssq)`` to ``(ct_t, ct_dt, ct_y, ct_k1, ct_parts)``. Recomputes
+    the six stages (keeping only the k's and hidden activations live —
+    stage states are cheap lincombs, rebuilt in the reverse loop), then
+    runs the transposed chain: tanh derivatives, transposed contractions,
+    stage-lincomb transposes, and the norm seeds. Used by BOTH the
+    step-level normed backward kernel below and the whole-solve backward
+    kernel (ops.pallas_solve), replacing the traced ``jax.vjp`` of the
+    algebra whose ~20 live batch-size residuals are VMEM-scheduling-bound
+    (measured round 4: 152 us/step traced vs the step-level hand chain's
+    ~50 us/step at the flagship shape)."""
+    tab = TSIT5
+    w1x, w1t, b1, w2h, w2t, b2 = parts
+    cyn, ck7, ct_errssq, ct_numssq, ct_denssq = cts
+
+    def stage_acc(i, ks):
+        acc = tab.a[i - 1][0] * ks[0]
+        for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+            if c != 0.0:
+                acc = acc + c * k
+        return acc
+
+    # ---- forward recompute, stage values live in VMEM ----
+    ks = [k1]
+    hs = []
+    for i in range(1, 7):
+        yi = y + dt * stage_acc(i, ks)
+        ti = t + tab.c[i] * dt
+        pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
+                       precision=_DOT_PRECISION) + ti * w1t + b1
+        h = _tanh(pre1)
+        pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32,
+                       precision=_DOT_PRECISION) + ti * w2t + b2
+        ks.append(_tanh(pre2))
+        hs.append(h)
+    y_new = y + dt * stage_acc(6, ks)
+
+    # ---- seed cotangents from the scalar norm cotangents ----
+    # err_ssq = sum((err/denom)^2), err = dt * S, S = sum btilde_j k_j
+    s_comb = tab.btilde[1] * (ks[1] - ks[0])
+    for c, k in zip(tab.btilde[2:], ks[2:]):
+        s_comb = s_comb + c * (k - ks[0])
+    err = dt * s_comb
+    denom = atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol
+    scaled = err / denom
+    cerr = ct_errssq * 2.0 * scaled / denom
+    # denom path: d err_ssq / d denom = -2 scaled^2 / denom, routed to
+    # whichever of |y|, |y_new| is the max (jnp.maximum subgradient).
+    cdenom = ct_errssq * (-2.0) * scaled * scaled / denom
+    y_is_max = jnp.abs(y) >= jnp.abs(y_new)
+    to_y = jnp.where(y_is_max, cdenom * rtol * jnp.sign(y), 0.0)
+    to_ynew = jnp.where(y_is_max, 0.0, cdenom * rtol * jnp.sign(y_new))
+
+    # num_ssq = sum((k7-k6)^2); den_ssq = sum((y_new-g6)^2), g6 = yis[4]
+    dk = ks[6] - ks[5]
+    d_k7 = ct_numssq * 2.0 * dk
+    dg = y_new - (y + dt * stage_acc(5, ks))
+    d_ynew = ct_denssq * 2.0 * dg
+
+    ct_ks = [tab.btilde[j] * (dt * cerr) for j in range(7)]
+    ct_ks[6] = ct_ks[6] + ck7 + d_k7
+    ct_ks[5] = ct_ks[5] - d_k7
+    ct_yi_seed = {6: cyn + d_ynew + to_ynew, 5: -d_ynew}
+
+    ct_dt = jnp.sum(cerr * s_comb)
+    ct_t = jnp.zeros((), jnp.float32)
+    ct_y = to_y
+    # Layout discipline (the backward's actual bottleneck — measured
+    # round 4: the whole-solve backward is precision-INSENSITIVE, i.e.
+    # not MXU-pass-bound, and the traced transpose costs the same as this
+    # chain did before this restructuring): every dot below is arranged
+    # so the MXU contracts over each operand's MINOR-friendly axis and
+    # the only relayouts are (a) the two weight transposes, hoisted out
+    # of the stage loop (1 per call instead of 6), and (b) transposes of
+    # the SMALL (batch, hidden) cotangent tiles. In particular the
+    # (batch, dim) stage state `yi` is never transposed: dW1 accumulates
+    # in TRANSPOSED (hidden, dim) layout and flips once at the end.
+    w1xT = jnp.transpose(w1x)  # (hidden, dim) — once per call
+    w2hT = jnp.transpose(w2h)  # (dim, hidden) — once per call
+    cw1xT = jnp.zeros((w1x.shape[1], w1x.shape[0]), jnp.float32)
+    cw1t = jnp.zeros_like(w1t)
+    cb1 = jnp.zeros_like(b1)
+    cw2h = jnp.zeros_like(w2h)
+    cw2t = jnp.zeros_like(w2t)
+    cb2 = jnp.zeros_like(b2)
+
+    contract_batch = (((0,), (0,)), ((), ()))
+    for i in range(6, 0, -1):
+        k_i = ks[i]
+        h_i = hs[i - 1]
+        acc = stage_acc(i, ks)
+        yi = y + dt * acc
+        ti = t + tab.c[i] * dt
+
+        ct_pre2 = ct_ks[i] * (1.0 - k_i * k_i)
+        # dW2 = h^T @ ct_pre2: relayouts h (batch, hidden) — the small
+        # tile, 8x less data than transposing ct_pre2 would move.
+        cw2h = cw2h + jax.lax.dot_general(
+            h_i, ct_pre2, contract_batch,
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION,
+        )
+        rows2 = jnp.sum(ct_pre2, axis=0, keepdims=True)
+        cw2t = cw2t + ti * rows2
+        cb2 = cb2 + rows2
+        ct_ti = jnp.sum(ct_pre2 * w2t)
+
+        # ct_h = ct_pre2 @ W2^T as a STRAIGHT matmul against the hoisted
+        # transpose (the ((1,),(1,)) form re-transposed w2h every stage).
+        ct_h = jnp.dot(ct_pre2, w2hT,
+                       preferred_element_type=jnp.float32,
+                       precision=_DOT_PRECISION)
+        ct_pre1 = ct_h * (1.0 - h_i * h_i)
+        # dW1 accumulated TRANSPOSED: ct_pre1^T @ yi relayouts ct_pre1
+        # (batch, hidden) instead of yi (batch, dim).
+        cw1xT = cw1xT + jax.lax.dot_general(
+            ct_pre1, yi, contract_batch,
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION,
+        )
+        rows1 = jnp.sum(ct_pre1, axis=0, keepdims=True)
+        cw1t = cw1t + ti * rows1
+        cb1 = cb1 + rows1
+        ct_ti = ct_ti + jnp.sum(ct_pre1 * w1t)
+
+        ct_yi = ct_yi_seed.get(i, 0.0) + jnp.dot(
+            ct_pre1, w1xT,
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION,
+        )
+        ct_y = ct_y + ct_yi
+        ct_dt = ct_dt + jnp.sum(ct_yi * acc) + tab.c[i] * ct_ti
+        ct_t = ct_t + ct_ti
+        for j, c in enumerate(tab.a[i - 1]):
+            if c != 0.0:
+                ct_ks[j] = ct_ks[j] + (dt * c) * ct_yi
+
+    return (ct_t, ct_dt, ct_y, ct_ks[0],
+            (jnp.transpose(cw1xT), cw1t, cb1, cw2h, cw2t, cb2))
+
+
+def make_normed_algebra_bwd(rtol: float, atol: float):
+    """The whole-solve kernels' ``algebra_bwd`` hook for MLPDynamics:
+    ``(t, dt, y, k1, leaves, cts) -> (ct_t, ct_dt, ct_y, ct_k1,
+    ct_leaves)`` with ``leaves`` in ``_split_params`` order and ``cts``
+    the NORMED quintuple cotangent."""
+
+    def algebra_bwd(t, dt, y, k1, leaves, cts):
+        ct_t, ct_dt, ct_y, ct_k1, ct_parts = _normed_bwd_math(
+            t, dt, y, k1, tuple(leaves), tuple(cts), rtol, atol)
+        return ct_t, ct_dt, ct_y, ct_k1, list(ct_parts)
+
+    return algebra_bwd
+
+
 def _make_normed_kernels(rtol: float, atol: float):
     """Kernel pair with the tolerance scale baked in as compile-time
     constants (rtol/atol are Python floats at trace time)."""
@@ -607,131 +766,19 @@ def _make_normed_kernels(rtol: float, atol: float):
         """Recompute the six stages in VMEM, seed the reverse chain from
         the scalar norm cotangents (expanded to elementwise cotangents
         in-register), then run the same transposed chain as the plain
-        backward kernel."""
-        tab = TSIT5
-        t = t_ref[0, 0]
-        dt = dt_ref[0, 0]
-        y = y_ref[:]
-        w1x = w1x_ref[:]
-        w1t = w1t_ref[:]
-        b1 = b1_ref[:]
-        w2h = w2h_ref[:]
-        w2t = w2t_ref[:]
-        b2 = b2_ref[:]
-
-        # ---- forward recompute, stage values live in VMEM ----
-        # Only the k's and hidden activations are kept; the stage states
-        # yi are cheap linear combinations of them and are recomputed in
-        # the reverse loop (keeping all six would overflow the 16MB VMEM
-        # budget at 128-row tiles x dim 784).
-        def stage_acc(i, ks):
-            acc = tab.a[i - 1][0] * ks[0]
-            for c, k in zip(tab.a[i - 1][1:], ks[1:]):
-                if c != 0.0:
-                    acc = acc + c * k
-            return acc
-
-        ks = [k1_ref[:]]
-        hs = []
-        for i in range(1, 7):
-            yi = y + dt * stage_acc(i, ks)
-            ti = t + tab.c[i] * dt
-            pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
-                           precision=_DOT_PRECISION) + ti * w1t + b1
-            h = _tanh(pre1)
-            pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32,
-                           precision=_DOT_PRECISION) + ti * w2t + b2
-            ks.append(_tanh(pre2))
-            hs.append(h)
-        y_new = y + dt * stage_acc(6, ks)
-
-        # ---- seed cotangents from the scalar norm cotangents ----
-        # err_ssq = sum((err/denom)^2), err = dt * S, S = sum btilde_j k_j
-        s_comb = tab.btilde[1] * (ks[1] - ks[0])
-        for c, k in zip(tab.btilde[2:], ks[2:]):
-            s_comb = s_comb + c * (k - ks[0])
-        err = dt * s_comb
-        denom = atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol
-        scaled = err / denom
-        ct_errssq = cerrssq_ref[0, 0]
-        cerr = ct_errssq * 2.0 * scaled / denom
-        # denom path: d err_ssq / d denom = -2 scaled^2 / denom, routed to
-        # whichever of |y|, |y_new| is the max (jnp.maximum subgradient).
-        cdenom = ct_errssq * (-2.0) * scaled * scaled / denom
-        y_is_max = jnp.abs(y) >= jnp.abs(y_new)
-        to_y = jnp.where(y_is_max, cdenom * rtol * jnp.sign(y), 0.0)
-        to_ynew = jnp.where(y_is_max, 0.0, cdenom * rtol * jnp.sign(y_new))
-
-        # num_ssq = sum((k7-k6)^2); den_ssq = sum((y_new-g6)^2), g6 = yis[4]
-        dk = ks[6] - ks[5]
-        d_k7 = cnumssq_ref[0, 0] * 2.0 * dk
-        dg = y_new - (y + dt * stage_acc(5, ks))
-        d_ynew = cdenssq_ref[0, 0] * 2.0 * dg
-
-        ct_ks = [tab.btilde[j] * (dt * cerr) for j in range(7)]
-        ct_ks[6] = ct_ks[6] + ck7_ref[:] + d_k7
-        ct_ks[5] = ct_ks[5] - d_k7
-        ct_yi_seed = {6: cyn_ref[:] + d_ynew + to_ynew, 5: -d_ynew}
-
-        ct_dt = jnp.sum(cerr * s_comb)
-        ct_t = jnp.zeros((), jnp.float32)
-        ct_y = to_y
-        cw1x = jnp.zeros_like(w1x)
-        cw1t = jnp.zeros_like(w1t)
-        cb1 = jnp.zeros_like(b1)
-        cw2h = jnp.zeros_like(w2h)
-        cw2t = jnp.zeros_like(w2t)
-        cb2 = jnp.zeros_like(b2)
-
-        contract_batch = (((0,), (0,)), ((), ()))
-        for i in range(6, 0, -1):
-            k_i = ks[i]
-            h_i = hs[i - 1]
-            acc = stage_acc(i, ks)
-            yi = y + dt * acc
-            ti = t + tab.c[i] * dt
-
-            ct_pre2 = ct_ks[i] * (1.0 - k_i * k_i)
-            cw2h = cw2h + jax.lax.dot_general(
-                h_i, ct_pre2, contract_batch,
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PRECISION,
-            )
-            rows2 = jnp.sum(ct_pre2, axis=0, keepdims=True)
-            cw2t = cw2t + ti * rows2
-            cb2 = cb2 + rows2
-            ct_ti = jnp.sum(ct_pre2 * w2t)
-
-            ct_h = jax.lax.dot_general(
-                ct_pre2, w2h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PRECISION,
-            )
-            ct_pre1 = ct_h * (1.0 - h_i * h_i)
-            cw1x = cw1x + jax.lax.dot_general(
-                yi, ct_pre1, contract_batch,
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PRECISION,
-            )
-            rows1 = jnp.sum(ct_pre1, axis=0, keepdims=True)
-            cw1t = cw1t + ti * rows1
-            cb1 = cb1 + rows1
-            ct_ti = ct_ti + jnp.sum(ct_pre1 * w1t)
-
-            ct_yi = ct_yi_seed.get(i, 0.0) + jax.lax.dot_general(
-                ct_pre1, w1x, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PRECISION,
-            )
-            ct_y = ct_y + ct_yi
-            ct_dt = ct_dt + jnp.sum(ct_yi * acc) + tab.c[i] * ct_ti
-            ct_t = ct_t + ct_ti
-            for j, c in enumerate(tab.a[i - 1]):
-                if c != 0.0:
-                    ct_ks[j] = ct_ks[j] + (dt * c) * ct_yi
+        backward kernel. The math lives in ``normed_algebra_bwd`` (shared
+        with the whole-solve backward kernel)."""
+        parts = (w1x_ref[:], w1t_ref[:], b1_ref[:],
+                 w2h_ref[:], w2t_ref[:], b2_ref[:])
+        cts = (cyn_ref[:], ck7_ref[:], cerrssq_ref[0, 0],
+               cnumssq_ref[0, 0], cdenssq_ref[0, 0])
+        (ct_t, ct_dt, ct_y, ct_k1,
+         (cw1x, cw1t, cb1, cw2h, cw2t, cb2)) = _normed_bwd_math(
+            t_ref[0, 0], dt_ref[0, 0], y_ref[:], k1_ref[:], parts, cts,
+            rtol, atol)
 
         cy_ref[:] = ct_y
-        ck1_ref[:] = ct_ks[0]
+        ck1_ref[:] = ct_k1
 
         first = pl.program_id(0) == 0
 

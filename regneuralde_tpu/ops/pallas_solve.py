@@ -91,9 +91,11 @@ def _pad128(d: int) -> int:
 
 # Whole-solve kernels legitimately need more than Mosaic's 16MB default
 # scoped-VMEM budget at flagship shapes (the traced trial-step vjp keeps
-# ~20 batch-size arrays live: 36.7MB at batch 512 x dim 784). v5e VMEM
-# is 128MB/core; raise the scoped limit rather than shrinking the batch.
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+# ~20 batch-size arrays live: 36.7MB at batch 512 x dim 784; the
+# layout-disciplined hand backward adds two hoisted weight transposes and
+# peaks at 104.8MB). v5e VMEM is 128MB/core; raise the scoped limit
+# rather than shrinking the batch.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=112 * 2**20)
 
 
 def vmem_estimate(batch: int, dim: int, n_save: int = 0) -> int:
@@ -127,6 +129,7 @@ def make_whole_solve(
     max_steps: int,
     n_save: int = 0,
     interpret: Optional[bool] = None,
+    algebra_bwd: Optional[Callable] = None,
 ):
     """Build ``solve(t0, t1, dt0, y0, f0, ys0, saveat, leaves)`` with a
     one-kernel forward and a one-kernel custom-vjp backward.
@@ -141,38 +144,77 @@ def make_whole_solve(
     Returns ``(y1, ys, tel, t_f, dt_f, qold_f, naccept, nreject, done)``
     with ``tel`` a ``StepTelemetry`` and ``ys`` shaped
     ``(n_save, batch, dim)`` (or ``()``).
+
+    ``algebra_bwd(t, dt, y, k1, leaves, cts) -> (ct_t, ct_dt, ct_y,
+    ct_k1, ct_leaves)`` optionally replaces the BACKWARD kernel's traced
+    ``jax.vjp`` of the stage algebra with a hand-derived reverse chain
+    (e.g. ops.pallas_mlp.make_normed_algebra_bwd). The traced transpose
+    keeps ~20 batch-size residuals live, which Mosaic schedules ~3x
+    slower than the hand chain at the flagship shape (measured round 4:
+    152 vs ~50 us/trial-step); the forward kernel and the controller /
+    telemetry / Hermite pullbacks are unchanged. Timing-only algebra
+    ablations (REGNDE_ALG_ABLATE) force the traced path — the hand chain
+    encodes the unablated math.
     """
     ctrl = controller or PIController.for_order(TSIT5.order)
     algebra = _stage_algebra(apply_fn, rtol, atol)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    def trial_step(t, dt, qold, y, f0, t1, span, tdir, count, leaves):
-        """One trial step as a pure function of loaded values — the unit
-        both kernels share (the backward differentiates it with jax.vjp,
-        so forward/backward stay op-for-op consistent)."""
-        remaining = t1 - t
-        is_last = (dt - remaining) * tdir >= 0
-        dt_eff = jnp.where(is_last, remaining, dt)
-        y_new, k7, e, n, d = algebra(t, dt_eff, y, f0, leaves)
-        eest, eigen = _normed_scalars(e, n, d, count, f32)
-        accept = eest <= 1.0
-        # Controller update on (1,1) vectors: Mosaic's scalar core has no
-        # powf lowering, so `eest**beta1` must run on the VPU.
-        dt_next, qold_next = ctrl.propose(
-            jnp.reshape(dt_eff, (1, 1)), jnp.reshape(eest, (1, 1)),
-            jnp.reshape(qold, (1, 1)), jnp.reshape(accept, (1, 1)))
-        dt_next = dt_next[0, 0]
-        qold_next = qold_next[0, 0]
-        dt_next = jnp.sign(dt_next) * jnp.minimum(jnp.abs(dt_next), span)
-        t_new = jnp.where(accept, jnp.where(is_last, t1, t + dt_eff), t)
-        y_out = jnp.where(accept, y_new, y)
-        f0_out = jnp.where(accept, k7, f0)
-        tel_t = jnp.where(is_last, t1, t + dt_eff)
-        acc_f = accept.astype(f32)
-        done_f = (accept & is_last).astype(f32)
-        return (t_new, dt_next, qold_next, y_out, f0_out,
-                tel_t, dt_eff, eest, eigen, acc_f, done_f)
+    from regneuralde_tpu.ops.pallas_generic import _ALG_ABLATE
+
+    alg_for_bwd = algebra
+    if algebra_bwd is not None and not _ALG_ABLATE:
+        @jax.custom_vjp
+        def _alg_cv(t, dt, y, k1, leaves):
+            return algebra(t, dt, y, k1, leaves)
+
+        def _alg_cv_fwd(t, dt, y, k1, leaves):
+            return algebra(t, dt, y, k1, leaves), (t, dt, y, k1, leaves)
+
+        def _alg_cv_bwd(res, cts):
+            t, dt, y, k1, leaves = res
+            ct_t, ct_dt, ct_y, ct_k1, ct_leaves = algebra_bwd(
+                t, dt, y, k1, leaves, cts)
+            return ct_t, ct_dt, ct_y, ct_k1, list(ct_leaves)
+
+        _alg_cv.defvjp(_alg_cv_fwd, _alg_cv_bwd)
+        alg_for_bwd = _alg_cv
+
+    def _make_trial_step(alg):
+        def trial_step(t, dt, qold, y, f0, t1, span, tdir, count, leaves):
+            """One trial step as a pure function of loaded values — the
+            unit both kernels share (the backward differentiates it with
+            jax.vjp, so forward/backward stay op-for-op consistent; with
+            ``algebra_bwd`` the algebra's pullback is the hand chain, the
+            rest of the step still transposes by tracing)."""
+            remaining = t1 - t
+            is_last = (dt - remaining) * tdir >= 0
+            dt_eff = jnp.where(is_last, remaining, dt)
+            y_new, k7, e, n, d = alg(t, dt_eff, y, f0, leaves)
+            eest, eigen = _normed_scalars(e, n, d, count, f32)
+            accept = eest <= 1.0
+            # Controller update on (1,1) vectors: Mosaic's scalar core has
+            # no powf lowering, so `eest**beta1` must run on the VPU.
+            dt_next, qold_next = ctrl.propose(
+                jnp.reshape(dt_eff, (1, 1)), jnp.reshape(eest, (1, 1)),
+                jnp.reshape(qold, (1, 1)), jnp.reshape(accept, (1, 1)))
+            dt_next = dt_next[0, 0]
+            qold_next = qold_next[0, 0]
+            dt_next = jnp.sign(dt_next) * jnp.minimum(jnp.abs(dt_next), span)
+            t_new = jnp.where(accept, jnp.where(is_last, t1, t + dt_eff), t)
+            y_out = jnp.where(accept, y_new, y)
+            f0_out = jnp.where(accept, k7, f0)
+            tel_t = jnp.where(is_last, t1, t + dt_eff)
+            acc_f = accept.astype(f32)
+            done_f = (accept & is_last).astype(f32)
+            return (t_new, dt_next, qold_next, y_out, f0_out,
+                    tel_t, dt_eff, eest, eigen, acc_f, done_f)
+
+        return trial_step
+
+    trial_step = _make_trial_step(algebra)
+    trial_step_bwd = _make_trial_step(alg_for_bwd)
 
     def _hermite_row(th, dt_eff, y, y_new, f0, k7):
         """Cubic Hermite at scalar fraction ``th`` on one (batch, dim) row.
@@ -387,8 +429,9 @@ def make_whole_solve(
             cur0v = cur0r[0, 0] if n_save else jnp.asarray(0, i32)
             rcur0 = curfr[0, 0] if n_save else jnp.asarray(0, i32)
 
-            step_fn = lambda t_, dt_, q_, y_, f_, t1_, sp_, ls_: trial_step(
-                t_, dt_, q_, y_, f_, t1_, sp_, tdir, count, ls_)
+            step_fn = lambda t_, dt_, q_, y_, f_, t1_, sp_, ls_: (
+                trial_step_bwd(
+                    t_, dt_, q_, y_, f_, t1_, sp_, tdir, count, ls_))
 
             ct_leaves0 = tuple(jnp.zeros(s, f32) for s in leaf_shapes)
             carry0 = (
@@ -710,6 +753,7 @@ def whole_solve_odeint(
     controller: Optional[PIController] = None,
     dt0: Optional[float] = None,
     matmul_precision: Optional[str] = "highest",
+    algebra_bwd: Optional[Callable] = None,
 ) -> ODESolution:
     """Run a whole-solve fused integration with odeint's exact prologue
     (Hairer initial-dt heuristic, NFE accounting, saveat seeding) and
@@ -727,6 +771,7 @@ def whole_solve_odeint(
                 func, apply_fn, flatten, y0, t0, t1, args,
                 rtol=rtol, atol=atol, max_steps=max_steps, saveat=saveat,
                 controller=controller, dt0=dt0, matmul_precision=None,
+                algebra_bwd=algebra_bwd,
             )
     t0 = jnp.asarray(t0, f32)
     t1 = jnp.asarray(t1, f32)
@@ -756,7 +801,7 @@ def whole_solve_odeint(
 
     solve = make_whole_solve(
         apply_fn, rtol, atol, controller=controller, max_steps=max_steps,
-        n_save=n_save,
+        n_save=n_save, algebra_bwd=algebra_bwd,
     )
     leaves = flatten(args)
     (y1, ys, tel, _tf, _dtf, _qoldf, na, nr, done) = solve(

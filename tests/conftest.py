@@ -42,6 +42,9 @@ _SLOW_MODULES = {
     "test_nfe_parity",
     "test_adjoint",
     "test_sde",
+    "test_gradients",
+    "test_tp",
+    "test_brownian_stack",
 }
 
 

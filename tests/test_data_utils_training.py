@@ -166,6 +166,66 @@ class TestTraining:
         assert losses[-1] < 0.1 * losses[0]
         assert state.step == 20
 
+    def test_multi_step_matches_sequential_single_steps(self):
+        """make_multi_step(K batches per dispatch) is semantically K
+        make_train_step calls: identical params, optimizer chain, losses,
+        and per-step aux — the dispatch amortization must be free."""
+        def loss_fn(params, x, lam):
+            out = x @ params["w"]
+            return jnp.mean(out**2) + lam * jnp.sum(jnp.abs(params["w"])), {
+                "l2": jnp.mean(out**2)}
+
+        opt = T.make_optimizer("adam", 1e-1)
+        params = {"w": jnp.ones((4, 2))}
+        rng = np.random.default_rng(1)
+        K = 5
+        xs = jnp.asarray(rng.standard_normal((K, 8, 4)), jnp.float32)
+        lams = jnp.linspace(0.1, 0.01, K).astype(jnp.float32)
+
+        st_a = T.create_train_state(params, opt)
+        single = T.make_train_step(loss_fn, opt, nan_guard=True, donate=False)
+        losses_a, l2s = [], []
+        for i in range(K):
+            st_a, loss, aux = single(st_a, xs[i], lams[i])
+            losses_a.append(float(loss))
+            l2s.append(float(aux["l2"]))
+
+        st_b = T.create_train_state(params, opt)
+        multi = T.make_multi_step(loss_fn, opt, nan_guard=True, donate=False)
+        st_b, losses_b, auxs = multi(st_b, xs, lams)
+
+        # XLA fuses the scanned body differently from the standalone step
+        # (reduction order inside mean/sum), so equality is to the ulp,
+        # not bitwise.
+        np.testing.assert_allclose(np.asarray(losses_b),
+                                   np.asarray(losses_a, np.float32),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(auxs["l2"]),
+                                   np.asarray(l2s, np.float32), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(st_a.params),
+                        jax.tree_util.tree_leaves(st_b.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+        assert int(st_b.step) == K
+        assert bool(np.all(np.asarray(auxs["grads_finite"])))
+
+    def test_multi_step_nan_guard_skips_only_poisoned_step(self):
+        """A non-finite gradient at step i must skip update i but leave
+        steps i+1.. running from the pre-i state."""
+        def loss_fn(params, x):
+            return jnp.sum(params["w"] * x), None
+
+        opt = T.make_optimizer("sgd", 0.5)
+        params = {"w": jnp.ones(3)}
+        xs = jnp.stack([jnp.ones(3), jnp.full(3, jnp.nan), jnp.ones(3)])
+        multi = T.make_multi_step(loss_fn, opt, nan_guard=True, donate=False)
+        st, _, auxs = multi(T.create_train_state(params, opt), xs)
+        # two clean sgd steps of -0.5 each; the NaN step is a no-op
+        np.testing.assert_allclose(np.asarray(st.params["w"]),
+                                   np.zeros(3), atol=1e-7)
+        finite = np.asarray(auxs[1])
+        np.testing.assert_array_equal(finite, [True, False, True])
+
     def test_checkpoint_roundtrip(self, tmp_path):
         ckpt = T.Checkpointer(tmp_path / "ck", save_every=2)
         params = {"w": jnp.arange(4.0)}

@@ -78,6 +78,11 @@ VARIANTS = [
     ("deflt", frozenset({FIXED}), frozenset(), "default", "accurate",
      False),
     ("grad", frozenset(), frozenset(), "highest", "accurate", True),
+    # Backward attribution (timing-only): the backward kernel vjp-traces
+    # the same algebra, so these knobs reach it too. bwd share of a leg
+    # = (g_* - grad) - (f_* - base).
+    ("g_nattanh", frozenset(), frozenset(), "highest", "native", True),
+    ("g_deflt", frozenset(), frozenset(), "default", "accurate", True),
 ]
 
 PREC = {
@@ -110,12 +115,19 @@ def main():
         pm._DOT_PRECISION = PREC[prec]
         pm._tanh = TANH[tanh]
         if grad:
+            # grad outputs are small (first leaf = a bias vector), so the
+            # host sync is cheap.
             fn = jax.jit(jax.grad(
                 lambda pp: jnp.sum(node(pp, x, mode="adjoint").value ** 2)))
             sync(fn(p))
             fns[name] = (fn, (p,))
         else:
-            fn = jax.jit(lambda pp, xx: node(pp, xx, mode="adjoint").value)
+            # Reduce to a scalar IN-PROGRAM: syncing on the (512, 784)
+            # value itself transfers 1.6MB through the tunnel (~6 ms,
+            # measured round 4), which swamped every per-leg difference in
+            # the round-3 runs of this harness.
+            fn = jax.jit(lambda pp, xx: jnp.sum(node(pp, xx,
+                                                     mode="adjoint").value))
             sync(fn(p, x))
             fns[name] = (fn, (p, x))
         print(f"compiled {name}", flush=True)

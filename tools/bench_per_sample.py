@@ -1,0 +1,114 @@
+"""Cost of per-sample adaptive stepping on the flagship (VERDICT-r3 #6).
+
+Per-sample mode (torchode-style: every batch element gets its own PI
+controller, honest per-sample NFE) is a batch-semantics capability the
+reference lacks (it solves the whole batch as ONE ODE state with one
+global error norm, src/models/neural_ode.jl:62). It runs on its own
+vmap'd unfused engine — excluded from every fused kernel — and until
+now nothing recorded what that costs on the flagship.
+
+One process, round-robin medians (the tools/ablate_interleaved.py
+discipline). Each timed call is a full value_and_grad of the flagship
+loss (CE + annealed error_est reg) at batch 512, rtol=atol=1.4e-8:
+
+  global       the shipped default (fused step kernels + fast adjoint,
+               whole-solve routed)
+  global_unf   global control on the UNFUSED adjoint engine — isolates
+               engine overhead from semantics
+  per_sample   per-sample controllers (vmap'd adjoint)
+
+Also reports the per-sample NFE distribution (mean/p50/max) vs the
+global solve's single NFE — the honest-cost argument for the mode.
+"""
+import json
+import sys
+import time
+from pathlib import Path as _P
+
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(_P.home() / ".cache" / "regneuralde_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+import flax.linen as nn  # noqa: E402
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from regneuralde_tpu import reg  # noqa: E402
+from regneuralde_tpu.models import ClassifierNODE, MLPDynamics, NeuralODE  # noqa: E402
+
+B, D, H = 512, 784, 100
+RT = 1.4e-8
+ROUNDS = 7
+INNER = 5
+
+
+def main():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (B, D)) * 0.3
+    y = jax.nn.one_hot(jax.random.randint(key, (B,), 0, 10), 10)
+
+    sync = lambda r: float(np.asarray(jax.tree_util.tree_leaves(r)[0]
+                                      ).ravel()[0])
+
+    variants = {
+        "global": dict(fused=True, per_sample=False),
+        "global_unf": dict(fused=False, per_sample=False),
+        "per_sample": dict(fused=False, per_sample=True),
+    }
+    fns, nfes = {}, {}
+    for name, kw in variants.items():
+        node = NeuralODE(MLPDynamics(dim=D, hidden=H), tspan=(0.0, 1.0),
+                         time_dep=True, rtol=RT, atol=RT, max_steps=96, **kw)
+        clf = ClassifierNODE(None, node, nn.Dense(10))
+        p = clf.init(jax.random.PRNGKey(1), x)
+
+        def loss(p, clf=clf):
+            out = clf(p, x)
+            ce = optax.softmax_cross_entropy(out.logits, y).mean()
+            return ce + 1e2 * reg.error_estimate(out.telemetry, agg="mean")
+
+        fn = jax.jit(jax.value_and_grad(loss))
+        sync(fn(p))
+        fns[name] = (fn, p)
+        nfe = jax.jit(lambda p, clf=clf: clf(p, x, mode="while").nfe)(p)
+        nfes[name] = np.asarray(nfe)
+        print(f"compiled {name}", flush=True)
+
+    times = {n: [] for n in fns}
+    for _ in range(ROUNDS):
+        for n, (fn, p) in fns.items():
+            sync(fn(p))
+            t0 = time.perf_counter()
+            for _ in range(INNER):
+                out = fn(p)
+            sync(out)
+            times[n].append((time.perf_counter() - t0) / INNER * 1e3)
+
+    out = {"batch": B, "rtol": RT}
+    for n in fns:
+        med = float(np.median(times[n]))
+        out[n + "_ms"] = round(med, 3)
+        out[n + "_samples_per_sec"] = round(B / med * 1e3, 1)
+        out[n + "_spread"] = round(
+            float(np.max(times[n]) - np.min(times[n])), 3)
+    ps = nfes["per_sample"].astype(np.float64)
+    out["nfe_global"] = int(nfes["global"].max())
+    out["nfe_per_sample"] = {
+        "mean": round(float(ps.mean()), 1),
+        "p50": int(np.median(ps)),
+        "min": int(ps.min()),
+        "max": int(ps.max()),
+    }
+    out["per_sample_vs_global"] = round(
+        out["per_sample_ms"] / out["global_ms"], 2)
+    out["per_sample_vs_global_unfused"] = round(
+        out["per_sample_ms"] / out["global_unf_ms"], 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
