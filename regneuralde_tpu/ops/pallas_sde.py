@@ -611,6 +611,18 @@ def make_sde_whole_solve(
         return ct
 
     def solve_bwd(res, cts):
+        # PRECISION IS LOAD-BEARING: custom_vjp backwards are traced
+        # during grad transposition, OUTSIDE whole_solve_sdeint's
+        # default_matmul_precision("highest") context. The bwd kernel's
+        # in-kernel jax.vjp of the trial step traces the user's
+        # drift/diffusion dots, which on TPU default to bf16 — measured
+        # round 4: fused saveat gradients off by up to 7x relative vs
+        # the unfused adjoint until this context was added
+        # (tools/tpu_regressions.py::sde_whole_solve_grads).
+        with jax.default_matmul_precision("highest"):
+            return _solve_bwd_impl(res, cts)
+
+    def _solve_bwd_impl(res, cts):
         (resid, t0, t1, y0, ys0, saveat, xi_w, xi_z, leaves) = res
         ht, hdt, hqold, hth, hy, hw, hz, nsteps, curf = resid
         (ct_y1, ct_ys, ct_tel, ct_tf, ct_dtf, ct_qoldf,

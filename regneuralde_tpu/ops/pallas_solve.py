@@ -649,6 +649,16 @@ def make_whole_solve(
         return ct
 
     def solve_bwd(res, cts):
+        # custom_vjp backwards trace OUTSIDE the forward's
+        # default_matmul_precision context (see ops.pallas_sde's
+        # solve_bwd for the measured failure). Today every contraction
+        # in this kernel's reverse chain carries explicit
+        # precision=HIGHEST (pallas_mlp/pallas_generic), so this context
+        # changes nothing — it guards any future ambient-precision dot.
+        with jax.default_matmul_precision("highest"):
+            return _solve_bwd_impl(res, cts)
+
+    def _solve_bwd_impl(res, cts):
         (resid, tel, t0, t1, y0, f0, ys0, saveat, leaves) = res
         ht, hdt, hqold, hy, hf, nsteps, curf = resid
         (ct_y1, ct_ys, ct_tel, ct_tf, ct_dtf, ct_qoldf,
@@ -1222,6 +1232,14 @@ def make_whole_solve_tiled(
         return ct
 
     def solve_bwd(res, cts):
+        # Same backward-trace precision guard as the saveat variant
+        # above (custom_vjp backwards trace outside the forward's
+        # context); no-op today, load-bearing if an ambient-precision
+        # dot ever enters this reverse chain.
+        with jax.default_matmul_precision("highest"):
+            return _solve_bwd_impl(res, cts)
+
+    def _solve_bwd_impl(res, cts):
         (resid, t0, t1, y0, f0, leaves) = res
         ht, hdt, hqold, he, hn, hd, hy, hf, nsteps = resid
         (ct_y1, ct_tel, ct_tf, ct_dtf, ct_qoldf, _na, _nr, _done) = cts

@@ -131,9 +131,17 @@ def per_sample_on_device():
     for i in range(3):
         si = jax.jit(lambda y: odeint(f, y, 0.0, 1.0, (A,), mode="while",
                                       **kw))(y0[i : i + 1])
-        np.testing.assert_array_equal(np.asarray(sol.y1[i]),
-                                      np.asarray(si.y1[0]))
-        assert int(sol.stats.nfe[i]) == int(si.stats.nfe)
+        # Bitwise lane-vs-lone parity is pinned on the CPU suite
+        # (tests/test_per_sample.py) where both sides lower identically.
+        # On the chip XLA lowers the vmap'd batch and the lone (1,8)
+        # solve to different fusions, so values agree only to f32
+        # roundoff (measured ~1e-5 rel); step counts must still be
+        # IDENTICAL (the controllers see the same accept/reject chain).
+        assert int(sol.stats.nfe[i]) == int(si.stats.nfe), (
+            f"lane {i}: nfe {int(sol.stats.nfe[i])} != {int(si.stats.nfe)}")
+        np.testing.assert_allclose(np.asarray(sol.y1[i]),
+                                   np.asarray(si.y1[0]),
+                                   rtol=5e-5, atol=1e-6)
 
     def loss(args, mode):
         s = odeint_per_sample(f, y0, 0.0, 1.0, args, mode=mode, **kw)
