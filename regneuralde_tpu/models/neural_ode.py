@@ -212,10 +212,16 @@ class NeuralODE:
             )
 
             n_save = 0 if saveat is None else int(saveat.shape[0])
+            # Mosaic sublane alignment: a batch that is not a multiple
+            # of 8 FAULTS the TPU worker inside the whole-solve kernels
+            # (measured round 4 on the SDE twin at (100, 2)); such
+            # batches fall through to the step-level fused engines.
+            aligned = (x.shape[0] % 8 == 0
+                       or jax.default_backend() == "cpu")
             # Whole-solve kernels run with a raised scoped-VMEM limit
             # (100MB; see ops.pallas_solve) — the flagship shape's 36.7MB
             # working set fits the monolithic kernel directly.
-            eligible = (
+            eligible = aligned and (
                 self.fused == "solve"
                 or (self.fused is True
                     and vmem_estimate(x.shape[0], x.shape[-1], n_save)

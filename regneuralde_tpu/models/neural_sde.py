@@ -146,6 +146,11 @@ class NeuralSDE:
             leaves = jax.tree_util.tree_leaves(params)
             supported = (
                 x.ndim == 2 and x.dtype == jnp.float32
+                # Mosaic sublane alignment: misaligned batches FAULT the
+                # TPU worker (measured round 4 at (100, 2)); route them
+                # to the unfused engines instead.
+                and (x.shape[0] % 8 == 0
+                     or jax.default_backend() == "cpu")
                 and all(l.ndim <= 2 and l.dtype == jnp.float32
                         for l in leaves)
             )

@@ -743,6 +743,13 @@ def whole_solve_sdeint(
                 max_steps=max_steps, saveat=saveat, controller=controller,
                 matmul_precision=None,
             )
+    if y0.shape[0] % 8 and jax.default_backend() != "cpu":
+        # Sublane alignment (see ops.pallas_solve.whole_solve_odeint):
+        # a (100, 2) solve faulted the TPU worker — guard, don't fault.
+        raise ValueError(
+            f"whole-solve kernels need batch % 8 == 0 on TPU, got "
+            f"{y0.shape[0]}; use the unfused engines (fused=False) or "
+            f"pad the batch")
     t0 = jnp.asarray(t0, f32)
     t1 = jnp.asarray(t1, f32)
     span = t1 - t0

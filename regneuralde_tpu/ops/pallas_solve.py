@@ -446,17 +446,24 @@ def make_whole_solve(
                  rcur) = c[:8]
                 ct_ls = c[8:]
                 i = ns - 1 - j
-                d1 = pltpu.make_async_copy(hyr.at[i], ldy, sem.at[0])
-                d2 = pltpu.make_async_copy(hfr.at[i], ldf, sem.at[1])
-                d1.start()
-                d2.start()
                 t_i = ht[i]
                 dt_i = hdt[i]
                 qold_i = hqold[i]
-                d1.wait()
-                d2.wait()
-                y_i = ldy[:, :dim]
-                f0_i = ldf[:, :dim]
+                if "nobwddma" in _ABLATE:
+                    # Timing-only ablation: skip the per-step history
+                    # loads (gradients are garbage; never set outside
+                    # perf probes — see _ABLATE docs above).
+                    y_i = jnp.full((batch, dim), 0.5, f32)
+                    f0_i = jnp.full((batch, dim), 0.5, f32)
+                else:
+                    d1 = pltpu.make_async_copy(hyr.at[i], ldy, sem.at[0])
+                    d2 = pltpu.make_async_copy(hfr.at[i], ldf, sem.at[1])
+                    d1.start()
+                    d2.start()
+                    d1.wait()
+                    d2.wait()
+                    y_i = ldy[:, :dim]
+                    f0_i = ldf[:, :dim]
 
                 outs, vjp = jax.vjp(step_fn, t_i, dt_i, qold_i, y_i, f0_i,
                                     t1, span, list(leaves))
@@ -783,6 +790,15 @@ def whole_solve_odeint(
                 controller=controller, dt0=dt0, matmul_precision=None,
                 algebra_bwd=algebra_bwd,
             )
+    if y0.shape[0] % 8 and jax.default_backend() != "cpu":
+        # Sublane alignment: Mosaic faults the TPU WORKER (not a Python
+        # error) on (batch, pad128(dim)) VMEM refs whose batch is not a
+        # multiple of 8 — measured round 4 on a (100, 2) SDE solve.
+        # Callers route misaligned batches to the unfused engines.
+        raise ValueError(
+            f"whole-solve kernels need batch % 8 == 0 on TPU, got "
+            f"{y0.shape[0]}; use the unfused engines (fused=False) or "
+            f"pad the batch")
     t0 = jnp.asarray(t0, f32)
     t1 = jnp.asarray(t1, f32)
     tdir = jnp.sign(t1 - t0)
@@ -1321,6 +1337,10 @@ def whole_solve_odeint_tiled(
                 tile_rows=tile_rows, controller=controller, dt0=dt0,
                 matmul_precision=None,
             )
+    if y0.shape[0] % tile_rows:
+        raise ValueError(
+            f"whole_solve_odeint_tiled needs batch % tile_rows == 0, got "
+            f"batch {y0.shape[0]} with tile_rows {tile_rows}")
     t0 = jnp.asarray(t0, f32)
     t1 = jnp.asarray(t1, f32)
     tdir = jnp.sign(t1 - t0)

@@ -328,3 +328,38 @@ class TestModelRouting:
                         jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-2, atol=5e-4)
+
+
+class TestBatchAlignmentGuards:
+    """Mosaic faults the TPU WORKER (not a Python error) on whole-solve
+    VMEM refs whose batch is not a multiple of 8 — measured round 4 on a
+    (100, 2) SDE solve (dim/saveat exonerated by bisect: (96, 2) and
+    (64, 2) run, (100, 2) and (100, 8) fault). The entry points must
+    refuse such batches on TPU; model routing falls back instead."""
+
+    def test_whole_solve_refuses_misaligned_batch_on_tpu(self, monkeypatch):
+        _, y, p, f, apply_fn, flatten = _setup(batch=10)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        with pytest.raises(ValueError, match="batch % 8"):
+            whole_solve_odeint(f, apply_fn, flatten, y, 0.0, 1.0, p,
+                               rtol=1e-3, atol=1e-3, max_steps=16)
+
+    def test_sde_whole_solve_refuses_misaligned_batch_on_tpu(
+            self, monkeypatch):
+        from regneuralde_tpu.ops.pallas_sde import whole_solve_sdeint
+
+        drift = lambda t, y, a: -y
+        diff = lambda t, y, a: 0.1 * jnp.ones_like(y)
+        y = jax.random.normal(KEY, (100, 2))
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        with pytest.raises(ValueError, match="batch % 8"):
+            whole_solve_sdeint(drift, diff, y, 0.0, 1.0, (),
+                               key=jax.random.PRNGKey(0), rtol=1e-1,
+                               atol=1e-1, max_steps=16)
+
+    def test_tiled_refuses_indivisible_tile(self):
+        _, y, p, f, apply_fn, flatten = _setup(batch=100)
+        with pytest.raises(ValueError, match="tile_rows"):
+            whole_solve_odeint_tiled(f, apply_fn, flatten, y, 0.0, 1.0, p,
+                                     rtol=1e-3, atol=1e-3, max_steps=16,
+                                     tile_rows=64)

@@ -83,6 +83,23 @@ VARIANTS = [
     # = (g_* - grad) - (f_* - base).
     ("g_nattanh", frozenset(), frozenset(), "highest", "native", True),
     ("g_deflt", frozenset(), frozenset(), "default", "accurate", True),
+    # Round-4 backward-side legs, all fori-pinned (both directions then
+    # run exactly 42 steps; ablated math changes values, never counts).
+    # bwd share of leg X = (g_X - g_fori) - (f_X - fori).
+    ("g_fori", frozenset({FIXED}), frozenset(), "highest", "accurate",
+     True),
+    ("g_noapply", frozenset({FIXED}), frozenset({"noapply"}), "highest",
+     "accurate", True),
+    ("g_stages3", frozenset({FIXED}), frozenset({"stages:3"}), "highest",
+     "accurate", True),
+    ("g_noerr", frozenset({FIXED}), frozenset({"noerr"}), "highest",
+     "accurate", True),
+    ("g_nolincomb", frozenset({FIXED}), frozenset({"nolincomb"}),
+     "highest", "accurate", True),
+    # backward-only history-load ablation (gradients garbage; isolates
+    # the per-step 3.7MB HBM->VMEM DMA wait in the reverse loop)
+    ("g_nobwddma", frozenset({FIXED, "nobwddma"}), frozenset(), "highest",
+     "accurate", True),
 ]
 
 PREC = {

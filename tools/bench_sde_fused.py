@@ -38,7 +38,11 @@ import numpy as np  # noqa: E402
 from regneuralde_tpu import reg  # noqa: E402
 from regneuralde_tpu.models import NeuralSDE  # noqa: E402
 
-TRAJ = 100
+# The reference uses 100 trajectories; the whole-solve kernel needs an
+# 8-aligned batch (Mosaic sublane constraint — a (100, 2) batch FAULTS
+# the TPU worker, measured round 4, now guarded in ops.pallas_sde), so
+# this bench runs the nearest aligned count.
+TRAJ = 128
 ROUNDS = 7
 INNER = 10
 # (rtol=atol, max_steps): the reference tolerance, then 10x and 100x
