@@ -31,6 +31,16 @@ from regneuralde_tpu.models import (MLP, AlternatingMLP, LatentGRU,
 from regneuralde_tpu.training import create_train_state, latent_ode_optimizer
 
 B = 64
+# Round 4: the tolerance is the probe's control variable. Sweeping it
+# (argv, default = the reference's 1.4e-8) located the regime where the
+# f32 reg gradient carries real signal on this surrogate: at rtol=1e-3,
+# step6 measures cos(f32,f64)=+0.95 (smooth surrogate) / +0.93 (rough,
+# REGNDE_SURROGATE_FREQ=4,12), vs +0.03..0.45 at 1e-5..1.4e-8 — the
+# noise is NOT tolerance-relative; only loose-tolerance solves whose
+# EEst sits well above f32 cancellation give a clean direction. That
+# rtol=1e-3 regime is where the round-4 vanilla-vs-ERNODE latent
+# training pair demonstrates the NFE-reduction mechanism (BASELINE.md).
+RTOL = float(sys.argv[1]) if len(sys.argv) > 1 else 1.4e-8
 train_loader, _ = load_physionet(B, seed=0)
 batches = []
 for b in train_loader:
@@ -44,8 +54,8 @@ saveat64 = jnp.sort(jnp.asarray(tp0[0], jnp.float64))
 
 def build(dtype):
     node = NeuralODE(AlternatingMLP(dim=20, hidden=50, depth=4),
-                     time_dep=False, solver="tsit5", rtol=1.4e-8,
-                     atol=1.4e-8, max_steps=768,
+                     time_dep=False, solver="tsit5", rtol=RTOL,
+                     atol=RTOL, max_steps=768,
                      # pin the time dtype: under x64, python-float tspan
                      # promotes the whole solve to f64
                      tspan=(jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype)),
@@ -142,7 +152,7 @@ for which in ("reg", "task"):
                                  jax.tree_util.tree_leaves(g32[group])])
             b = jnp.concatenate([x.ravel() for x in
                                  jax.tree_util.tree_leaves(g64[group])])
-            print(f"{which:4s} {name:6s} {group:4s} "
+            print(f"rtol={RTOL:g} {which:4s} {name:6s} {group:4s} "
                   f"cos(f32,f64)={cos(a,b):+.4f} "
                   f"|f32|={float(jnp.linalg.norm(a)):.3e} "
                   f"|f64|={float(jnp.linalg.norm(b.astype(jnp.float32))):.3e}")
