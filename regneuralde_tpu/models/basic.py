@@ -30,13 +30,18 @@ import jax.numpy as jnp
 
 
 def _t_row(x: jnp.ndarray, t) -> jnp.ndarray:
-    """Broadcast scalar time to a (batch, 1) column for concatenation.
+    """Broadcast time to a (batch, 1) column for concatenation.
 
     The reference builds this with ``CUDA.ones(1, B) .* t`` to stay
     on-device and on-tape (src/models/basic.jl:25-28); in JAX broadcasting
-    a traced scalar does both for free.
+    a traced scalar does both for free. A ``(batch,)`` time vector (the
+    per-lane-controller engine advances every sample at its OWN t) maps
+    to one column entry per row.
     """
-    return jnp.broadcast_to(jnp.asarray(t, x.dtype), (x.shape[0], 1))
+    t = jnp.asarray(t, x.dtype)
+    if t.ndim == 1:
+        return t[:, None]
+    return jnp.broadcast_to(t, (x.shape[0], 1))
 
 
 class TDChain(nn.Module):

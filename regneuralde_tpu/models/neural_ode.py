@@ -83,6 +83,14 @@ class NeuralODE:
         # assumes one shared controller); axis_name needs no step sync in
         # this mode (each sample is independent), so it is simply not
         # threaded into the solve.
+        # per_sample may be True (vmap engine, full generality), or the
+        # string "batched" (the per-lane-controller dense engine — 11x
+        # faster on the flagship, final-state 2-D solves only; see
+        # ops.per_sample_batched).
+        if per_sample not in (False, True, "batched"):
+            raise ValueError(
+                "per_sample must be False, True or 'batched', got "
+                f"{per_sample!r}")
         self.per_sample = per_sample
         if per_sample and fused:
             raise ValueError(
@@ -191,11 +199,18 @@ class NeuralODE:
         if self.per_sample:
             from regneuralde_tpu.ops import odeint_per_sample
 
-            sol = odeint_per_sample(
-                self._func, x, t0, t1, params,
-                solver=self.solver, rtol=self.rtol, atol=self.atol,
-                max_steps=self.max_steps, saveat=saveat, mode=mode,
-            )
+            if self.per_sample == "batched":
+                sol = odeint_per_sample(
+                    self._func, x, t0, t1, params, engine="batched",
+                    solver=self.solver, rtol=self.rtol, atol=self.atol,
+                    max_steps=self.max_steps, saveat=saveat,
+                )
+            else:
+                sol = odeint_per_sample(
+                    self._func, x, t0, t1, params,
+                    solver=self.solver, rtol=self.rtol, atol=self.atol,
+                    max_steps=self.max_steps, saveat=saveat, mode=mode,
+                )
             value = (jnp.swapaxes(sol.ys, 0, 1)
                      if saveat is not None else sol.y1)
             return NeuralDEOutput(

@@ -112,6 +112,7 @@ def odeint_per_sample(
     t0,
     t1,
     args: Any = None,
+    engine: str = "vmap",
     **kwargs,
 ) -> ODESolution:
     """Integrate every batch element under its own adaptive controller.
@@ -148,6 +149,29 @@ def odeint_per_sample(
     _reject_global_kwargs(kwargs)
     batch = _check_batch(y0)
     saveat, sa_axis = _split_saveat(kwargs, batch)
+
+    if engine == "batched":
+        # Per-lane-controller engine: same semantics, one dense batched
+        # program (no vmap'd per-lane buffer updates — 11-14x faster on
+        # the flagship shape, see ops.per_sample_batched). Scoped to
+        # single 2-D states and final-state solves.
+        from regneuralde_tpu.ops.per_sample_batched import (
+            odeint_per_sample_batched,
+        )
+
+        if saveat is not None:
+            raise ValueError(
+                "engine='batched' supports final-state solves only; "
+                "use engine='vmap' for saveat trajectories")
+        if not (hasattr(y0, "ndim") and y0.ndim == 2):
+            raise ValueError(
+                "engine='batched' needs a bare 2-D (batch, dim) state "
+                "array; use engine='vmap' for pytree states")
+        kwargs.pop("mode", None)  # one engine, always differentiable
+        return odeint_per_sample_batched(func, y0, t0, t1, args, **kwargs)
+    if engine != "vmap":
+        raise ValueError(f"engine must be 'vmap' or 'batched', got "
+                         f"{engine!r}")
 
     # Each lane keeps a singleton batch axis so batched dynamics modules
     # (which concatenate time rows, run (batch, feat) matmuls, ...) work

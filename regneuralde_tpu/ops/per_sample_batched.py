@@ -1,0 +1,240 @@
+"""Per-lane-controller batched engine for per-sample adaptive stepping.
+
+The vmap engine (:mod:`regneuralde_tpu.ops.per_sample`) is semantically
+exact but pays a TPU-hostile cost: under ``jax.vmap`` each lane's
+history/save updates index by that lane's OWN step counter, so XLA
+lowers every per-step ``dynamic_update_slice`` into a full-buffer masked
+update — measured 14.4x slower than global control on the flagship
+shape (``tools/bench_per_sample.py``, round 4).
+
+This engine instead runs per-sample control DIRECTLY on the batched
+state, the way torchode does on GPU (PAPERS.md) re-thought for the MXU:
+
+* ONE bounded ``lax.scan`` advances the whole batch in lockstep
+  iterations; the stage sweep stays a full ``(batch, dim)`` MXU matmul
+  every iteration — no per-lane loop, no singleton batches.
+* Controller state is vectorized per lane: ``t``, ``dt``, ``qold``,
+  ``done``, accept/reject, and the tolerance-normalized error norm are
+  ``(batch,)`` rows (``EEst_i = rms(err_i / (atol + max|y_i| rtol))``
+  along features only — exactly what the vmap engine's per-lane
+  ``hairer_norm`` computes on its ``(1, dim)`` leaf).
+* Finished lanes freeze: their state stops updating and their telemetry
+  rows mark ``live=False``; wall clock is set by the slowest lane (the
+  same "iterate while any lane runs" schedule vmap produces), but every
+  buffer write is a dense full-batch store — nothing scatters.
+* Time enters the dynamics as a ``(batch,)`` vector (every lane sits at
+  its own ``t_i``); ``models.basic._t_row`` maps it to the standard
+  ``(batch, 1)`` time column, so batched dynamics modules run unchanged.
+
+Gradients flow through the scan by ordinary reverse-mode AD (per-step
+remat keeps residual memory at one stage-sweep's worth); step counts are
+pinned against the vmap engine in tests/test_per_sample.py.
+
+Scope (prototype boundaries, checked with clear errors): single 2-D
+array state, explicit FSAL tableaus (tsit5/bosh3/dopri5), final-state
+solves (``saveat`` stays on the vmap engine).
+
+Reference relation: the reference solves the whole batch as ONE ODE
+state with one global norm (src/models/neural_ode.jl:62); per-sample
+control is a capability beyond it, costed in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from regneuralde_tpu.ops.controller import PIController
+from regneuralde_tpu.ops.ode import ODESolution, ODEStats, StepTelemetry
+from regneuralde_tpu.ops.tableaus import get_tableau
+
+__all__ = ["odeint_per_sample_batched"]
+
+f32 = jnp.float32
+
+
+def _row_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """Hairer RMS norm along features, per batch row; sqrt'(0)-safe."""
+    ssq = jnp.sum(x * x, axis=-1)
+    count = x.shape[-1]
+    return jnp.where(ssq > 0, jnp.sqrt(jnp.where(ssq > 0, ssq, 1.0) / count), 0.0)
+
+
+def _per_lane_initial_dt(func, t0, y0, f0, args, order, rtol, atol, t1):
+    """Hairer's automatic initial dt (controller.initial_step_size) with
+    every norm taken per lane — each sample gets its own dt0, exactly
+    what the vmap engine computes per lane. One extra (batched) dynamics
+    evaluation, mirroring the +1 NFE of the scalar version."""
+    tdir = jnp.sign(t1 - t0)
+    span = jnp.abs(t1 - t0)
+
+    def scaled(v):
+        return v / (atol + jnp.abs(y0) * rtol)
+
+    d0 = _row_norm(scaled(y0))
+    d1 = _row_norm(scaled(f0))
+    dt0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), jnp.asarray(1e-6, d0.dtype),
+                    0.01 * d0 / jnp.maximum(d1, 1e-30))
+    dt0 = jnp.minimum(dt0, span)
+
+    y1 = y0 + (tdir * dt0)[:, None] * f0
+    f1 = func(t0 + tdir * dt0, y1, args)
+    d2 = _row_norm(scaled(f1 - f0)) / jnp.maximum(dt0, 1e-30)
+
+    dmax = jnp.maximum(d1, d2)
+    dt1 = jnp.where(dmax <= 1e-15, jnp.maximum(1e-6, dt0 * 1e-3),
+                    (0.01 / jnp.maximum(dmax, 1e-30)) ** (1.0 / (order + 1)))
+    dt = jnp.minimum(jnp.minimum(100.0 * dt0, dt1), span)
+    return tdir * dt, f1
+
+
+def odeint_per_sample_batched(
+    func: Callable,
+    y0: jnp.ndarray,
+    t0,
+    t1,
+    args: Any = None,
+    *,
+    solver: str = "tsit5",
+    rtol: float = 1e-6,
+    atol: float = 1e-6,
+    dt0: Optional[float] = None,
+    max_steps: int = 256,
+    controller: Optional[PIController] = None,
+    remat: bool = True,
+    matmul_precision: Optional[str] = "highest",
+) -> ODESolution:
+    """Integrate every batch row under its own adaptive controller, as
+    one dense batched program (see module docstring).
+
+    Args/returns match :func:`odeint_per_sample` for a single 2-D state:
+    ``stats`` fields are per-sample ``(batch,)`` vectors, ``telemetry``
+    streams are ``(batch, max_steps)``.
+
+    ``matmul_precision`` mirrors :func:`odeint`'s default: TPU bf16 dots
+    flood the embedded error estimate at tight tolerances and EVERY lane
+    caps out (measured round 4: per-lane NFE 578 == the max_steps cap at
+    rtol=1.4e-8 until this context was added; the scan transpose
+    inherits the baked precision, so forward-trace pinning covers the
+    gradient too).
+    """
+    if matmul_precision is not None:
+        with jax.default_matmul_precision(matmul_precision):
+            return odeint_per_sample_batched(
+                func, y0, t0, t1, args, solver=solver, rtol=rtol,
+                atol=atol, dt0=dt0, max_steps=max_steps,
+                controller=controller, remat=remat, matmul_precision=None)
+    y0 = jnp.asarray(y0)
+    if y0.ndim != 2:
+        raise ValueError(
+            f"the batched per-sample engine needs a 2-D (batch, dim) "
+            f"state, got shape {y0.shape}; use engine='vmap' for pytree "
+            f"states")
+    tab = get_tableau(solver)
+    if not tab.fsal:
+        raise NotImplementedError("only FSAL tableaus are supported")
+    n_stages = tab.num_stages
+    ctrl = controller or PIController.for_order(tab.order)
+    batch = y0.shape[0]
+
+    t0v = jnp.broadcast_to(jnp.asarray(t0, f32), (batch,))
+    t1v = jnp.broadcast_to(jnp.asarray(t1, f32), (batch,))
+    tdir = jnp.sign(t1v - t0v)
+    span = jnp.abs(t1v - t0v)
+
+    f0 = func(t0v, y0, args)
+    if dt0 is None:
+        dt_init, _ = _per_lane_initial_dt(
+            func, t0v, y0, f0, args, tab.order, rtol, atol, t1v)
+        nfe_init = 2
+    else:
+        dt_init = jnp.broadcast_to(jnp.asarray(dt0, f32), (batch,)) * tdir
+        nfe_init = 1
+
+    def body(carry, _):
+        t, dt, qold, y, f0c, done, na, nr = carry
+        live = ~done
+
+        remaining = t1v - t
+        is_last = (dt - remaining) * tdir >= 0
+        dt_eff = jnp.where(is_last, remaining, dt)
+        de = dt_eff[:, None]
+
+        # FSAL stage sweep on the full batch; per-lane dt/t broadcast as
+        # columns. Accumulation order matches ops.norms.tree_lincomb
+        # (k-combination first, one dt multiply, zero coeffs skipped) and
+        # the btilde terms are differenced against k1 (the same f32
+        # cancellation fix as ops.ode's generic_sweep) so the per-lane
+        # controller sees the same EEst roundoff as the vmap engine.
+        def lincomb(base, coeffs, kl):
+            nz = [(c, k) for c, k in zip(coeffs, kl) if c != 0.0]
+            if not nz:
+                return base
+            acc = nz[0][0] * nz[0][1]
+            for c_ij, kj in nz[1:]:
+                acc = acc + c_ij * kj
+            return base + de * acc
+
+        ks = [f0c]
+        y_stage = y
+        for i in range(1, n_stages):
+            y_stage = lincomb(y, tab.a[i - 1], ks)
+            ks.append(func(t + tab.c[i] * dt_eff, y_stage, args))
+        y_new = y_stage  # b row == last a row (FSAL)
+        g_prev = lincomb(y, tab.a[n_stages - 3], ks[: n_stages - 2])
+
+        err = de * sum(
+            c * (kl - ks[0]) for c, kl in zip(tab.btilde[1:], ks[1:]))
+        scaled = err / (atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol)
+        eest = _row_norm(scaled)
+
+        eig_num = _row_norm(ks[-1] - ks[-2])
+        eig_den = _row_norm(y_new - g_prev)
+        eigen_est = jnp.where(eig_den > 0,
+                              eig_num / jnp.maximum(eig_den, 1e-30), 0.0)
+
+        accept = eest <= 1.0
+        dt_next, qold_next = ctrl.propose(dt_eff, eest, qold, accept)
+        dt_next = jnp.sign(dt_next) * jnp.minimum(jnp.abs(dt_next), span)
+
+        upd = accept & live
+        t_new = jnp.where(upd, jnp.where(is_last, t1v, t + dt_eff), t)
+        done_new = done | (accept & is_last & live)
+        y_out = jnp.where(upd[:, None], y_new, y)
+        f0_out = jnp.where(upd[:, None], ks[-1], f0c)
+        dt_out = jnp.where(live, dt_next, dt)
+        qold_out = jnp.where(live, qold_next, qold)
+        na_out = na + (accept & live).astype(jnp.int32)
+        nr_out = nr + ((~accept) & live).astype(jnp.int32)
+
+        zero = jnp.zeros((batch,), f32)
+        tel = StepTelemetry(
+            t=jnp.where(live, jnp.where(is_last, t1v, t + dt_eff), zero),
+            dt=jnp.where(live, dt_eff, zero),
+            eest=jnp.where(live, eest, zero),
+            eigen_est=jnp.where(live, eigen_est, zero),
+            accepted=accept & live,
+            live=live,
+        )
+        return (t_new, dt_out, qold_out, y_out, f0_out, done_new,
+                na_out, nr_out), tel
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    qold0 = jnp.full((batch,), ctrl.qoldinit, f32)
+    done0 = jnp.zeros((batch,), bool)
+    zi = jnp.zeros((batch,), jnp.int32)
+    carry0 = (t0v, dt_init, qold0, y0, f0, done0, zi, zi)
+    (tf, _dtf, _qf, y1, _ff, done, na, nr), tel = lax.scan(
+        body, carry0, None, length=max_steps)
+
+    nfe = nfe_init + (n_stages - 1) * (na + nr)
+    stats = ODEStats(nfe=nfe, naccept=na, nreject=nr, success=done)
+    # (max_steps, batch) -> the per-sample convention (batch, max_steps)
+    tel = StepTelemetry(*(jnp.swapaxes(s, 0, 1) for s in tel))
+    return ODESolution(y1=y1, ys=None, ts=None, stats=stats, telemetry=tel)

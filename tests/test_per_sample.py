@@ -363,3 +363,81 @@ class TestSDE:
         assert bool(out.solution.stats.success.all())
         with pytest.raises(ValueError, match="per_sample"):
             NeuralSDE(Drift(), Diffusion(), fused=True, per_sample=True)
+
+
+class TestBatchedEngine:
+    """The per-lane-controller batched engine (ops.per_sample_batched):
+    same per-sample semantics as the vmap engine, one dense batched
+    program. Exact-bitwise parity with vmap is NOT the contract (the
+    (batch, dim) and (1, dim) lowerings round differently, which can
+    flip a controller decision at the accept boundary); step counts must
+    agree within ONE trial step per lane and values to f32 roundoff."""
+
+    def test_matches_vmap_engine(self):
+        sv = odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="scan", **KW)
+        sb = odeint_per_sample(oscillator, Y0, 0.0, 1.0, engine="batched",
+                               **KW)
+        assert bool(sb.stats.success.all())
+        nfe_v = np.asarray(sv.stats.nfe)
+        nfe_b = np.asarray(sb.stats.nfe)
+        assert (np.abs(nfe_v - nfe_b) <= 6).all(), (nfe_v, nfe_b)
+        np.testing.assert_allclose(np.asarray(sb.y1), np.asarray(sv.y1),
+                                   rtol=2e-4, atol=1e-6)
+        # honest per-lane accounting: the easy lane stays far cheaper
+        # than the stiff one
+        assert nfe_b[0] < nfe_b[2] / 3
+        assert sb.telemetry.t.shape == (Y0.shape[0], KW["max_steps"])
+        # reg reductions accept the (batch, max_steps) telemetry
+        r = reg.error_estimate(sb.telemetry, agg="mean")
+        assert np.isfinite(float(r))
+
+    def test_time_dependent_dynamics(self):
+        from regneuralde_tpu.models.basic import _t_row
+
+        def f(t, y, args):
+            return -y * (1.0 + 0.5 * jnp.sin(3.0 * _t_row(y, t)))
+
+        y0 = jnp.linspace(0.5, 2.0, 8).reshape(4, 2)
+        kw = dict(rtol=1e-6, atol=1e-6, max_steps=128)
+        sv = odeint_per_sample(f, y0, 0.0, 1.0, mode="scan", **kw)
+        sb = odeint_per_sample(f, y0, 0.0, 1.0, engine="batched", **kw)
+        np.testing.assert_allclose(np.asarray(sb.y1), np.asarray(sv.y1),
+                                   rtol=2e-4, atol=1e-6)
+        assert (np.abs(np.asarray(sv.stats.nfe)
+                       - np.asarray(sb.stats.nfe)) <= 6).all()
+
+    def test_gradients_match_vmap_adjoint(self):
+        def loss(y0, engine, mode):
+            if engine == "batched":
+                s = odeint_per_sample(oscillator, y0, 0.0, 1.0,
+                                      engine="batched", **KW)
+            else:
+                s = odeint_per_sample(oscillator, y0, 0.0, 1.0,
+                                      mode=mode, **KW)
+            return jnp.sum(s.y1[:, :2] ** 2)
+
+        gb = jax.grad(lambda y: loss(y, "batched", None))(Y0)
+        gv = jax.grad(lambda y: loss(y, "vmap", "adjoint"))(Y0)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gv),
+                                   rtol=5e-3, atol=1e-4)
+
+    def test_per_sample_tspan(self):
+        t1 = jnp.asarray([0.5, 1.0, 1.5])
+        sb = odeint_per_sample(oscillator, Y0, 0.0, t1, engine="batched",
+                               **KW)
+        for i, t1_i in enumerate([0.5, 1.0, 1.5]):
+            si = odeint(oscillator, Y0[i : i + 1], 0.0, t1_i, mode="scan",
+                        **KW)
+            np.testing.assert_allclose(np.asarray(sb.y1[i]),
+                                       np.asarray(si.y1[0]),
+                                       rtol=2e-4, atol=1e-6)
+
+    def test_scope_errors(self):
+        with pytest.raises(ValueError, match="final-state"):
+            odeint_per_sample(oscillator, Y0, 0.0, 1.0, engine="batched",
+                              saveat=jnp.linspace(0, 1, 5), **KW)
+        with pytest.raises(ValueError, match="2-D"):
+            odeint_per_sample(lambda t, y, a: y, {"a": Y0}, 0.0, 1.0,
+                              engine="batched", **KW)
+        with pytest.raises(ValueError, match="engine"):
+            odeint_per_sample(oscillator, Y0, 0.0, 1.0, engine="nope", **KW)

@@ -58,6 +58,9 @@ def main():
         "global": dict(fused=True, per_sample=False),
         "global_unf": dict(fused=False, per_sample=False),
         "per_sample": dict(fused=False, per_sample=True),
+        # per-lane-controller dense engine (ops.per_sample_batched):
+        # same semantics, no vmap'd per-lane buffer updates
+        "per_sample_batched": dict(fused=False, per_sample="batched"),
     }
     fns, nfes = {}, {}
     for name, kw in variants.items():
@@ -107,6 +110,17 @@ def main():
         out["per_sample_ms"] / out["global_ms"], 2)
     out["per_sample_vs_global_unfused"] = round(
         out["per_sample_ms"] / out["global_unf_ms"], 2)
+    pb = nfes["per_sample_batched"].astype(np.float64)
+    out["nfe_per_sample_batched"] = {
+        "mean": round(float(pb.mean()), 1),
+        "p50": int(np.median(pb)),
+        "min": int(pb.min()),
+        "max": int(pb.max()),
+    }
+    out["per_sample_batched_vs_global"] = round(
+        out["per_sample_batched_ms"] / out["global_ms"], 2)
+    out["batched_vs_vmap_speedup"] = round(
+        out["per_sample_ms"] / out["per_sample_batched_ms"], 2)
     print(json.dumps(out))
 
 

@@ -96,10 +96,15 @@ def main():
     ws = (jax.random.normal(key, (LAT, HID)) * 0.1,
           jax.random.normal(key, (HID, LAT)) * 0.1)
 
+    # Instantiate each jitted program ONCE (a fresh jax.jit per call
+    # would retrace+recompile inside the timed region).
+    f_single = make_single(B)
+    f_dual = make_dual()
+    f_half = make_single(B // 2)
     fns = {
-        "single_256": lambda: make_single(B)(y, ws),
-        "dual_2x128": lambda: make_dual()(y[:B // 2], y[B // 2:], ws),
-        "half_128": lambda: make_single(B // 2)(y[:B // 2], ws),
+        "single_256": lambda: f_single(y, ws),
+        "dual_2x128": lambda: f_dual(y[:B // 2], y[B // 2:], ws),
+        "half_128": lambda: f_half(y[:B // 2], ws),
     }
     # compile
     for n, f in fns.items():

@@ -153,6 +153,46 @@ def per_sample_on_device():
                                rtol=1e-3, atol=1e-5)
 
 
+def per_sample_batched_on_device():
+    """The per-lane-controller batched engine on the real chip: per-lane
+    step counts must track the vmap engine within ONE trial step and
+    values/gradients must agree. Guards the bf16-EEst failure class:
+    without the engine's baked matmul_precision, TPU-default dots flood
+    the per-lane error estimate and EVERY lane caps out (measured round
+    4: per-lane NFE 578 == the cap at the flagship tolerance, invisible
+    on the CPU suite)."""
+    from regneuralde_tpu.ops import odeint_per_sample
+
+    A = jax.random.normal(jax.random.PRNGKey(4), (8, 8)) * 0.3
+
+    def f(t, y, args):
+        (A,) = args
+        return jnp.tanh(y @ A)
+
+    y0 = jnp.stack([jnp.ones(8), 2 * jnp.ones(8), -0.5 * jnp.ones(8)])
+    kw = dict(rtol=1e-6, atol=1e-6, max_steps=64)
+    sv = jax.jit(lambda y: odeint_per_sample(f, y, 0.0, 1.0, (A,),
+                                             mode="while", **kw))(y0)
+    sb = jax.jit(lambda y: odeint_per_sample(f, y, 0.0, 1.0, (A,),
+                                             engine="batched", **kw))(y0)
+    assert bool(np.asarray(sb.stats.success).all()), "batched lanes capped"
+    dn = np.abs(np.asarray(sv.stats.nfe) - np.asarray(sb.stats.nfe))
+    assert (dn <= 6).all(), (
+        f"per-lane NFE drift vmap={np.asarray(sv.stats.nfe)} "
+        f"batched={np.asarray(sb.stats.nfe)}")
+    np.testing.assert_allclose(np.asarray(sb.y1), np.asarray(sv.y1),
+                               rtol=2e-4, atol=1e-6)
+
+    def loss(args, engine):
+        s = odeint_per_sample(f, y0, 0.0, 1.0, args, engine=engine, **kw)
+        return jnp.sum(s.y1 ** 2)
+
+    gb = jax.jit(jax.grad(lambda a: loss(a, "batched")))((A,))
+    gv = jax.jit(jax.grad(lambda a: loss(a, "vmap")))((A,))
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(gv[0]),
+                               rtol=5e-3, atol=1e-4)
+
+
 def run_all():
     """Run every on-device regression; returns ``(passed, failed)``.
 
@@ -170,6 +210,8 @@ def run_all():
           sde_whole_solve_grads)
     check("per_sample_lane_parity_and_grads_on_device",
           per_sample_on_device)
+    check("per_sample_batched_engine_on_device",
+          per_sample_batched_on_device)
     return passes, failures
 
 
