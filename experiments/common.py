@@ -103,6 +103,12 @@ def setup(args, experiment: str):
         args.results_dir, experiment, bool(h.get("regularize", False)),
         h.get("type"), config_path=args.config,
     )
+    # The raw config snapshot alone mis-documents CLI-driven runs (e.g.
+    # --batch-size/--rtol sweeps); record the post-override view too.
+    save_yaml(Path(run_dir) / "config_effective.yml",
+              {**cfg, "hyperparameters": h,
+               "cli": {k: v for k, v in vars(args).items()
+                       if v is not None and v is not False}})
     print(f"[{experiment}] run dir: {run_dir}")
     print(f"[{experiment}] devices: {jax.devices()}")
     return cfg, h, run_dir
