@@ -203,7 +203,7 @@ class NeuralODE:
                 sol = odeint_per_sample(
                     self._func, x, t0, t1, params, engine="batched",
                     solver=self.solver, rtol=self.rtol, atol=self.atol,
-                    max_steps=self.max_steps, saveat=saveat,
+                    max_steps=self.max_steps, saveat=saveat, mode=mode,
                 )
             else:
                 sol = odeint_per_sample(

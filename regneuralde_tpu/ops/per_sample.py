@@ -167,8 +167,13 @@ def odeint_per_sample(
             raise ValueError(
                 "engine='batched' needs a bare 2-D (batch, dim) state "
                 "array; use engine='vmap' for pytree states")
-        kwargs.pop("mode", None)  # one engine, always differentiable
-        return odeint_per_sample_batched(func, y0, t0, t1, args, **kwargs)
+        mode = kwargs.pop("mode", None)
+        if mode == "while":
+            # The batched adjoint forward IS the early-exit while loop;
+            # it just also carries a hand-written backward.
+            mode = "adjoint"
+        return odeint_per_sample_batched(func, y0, t0, t1, args,
+                                         mode=mode or "adjoint", **kwargs)
     if engine != "vmap":
         raise ValueError(f"engine must be 'vmap' or 'batched', got "
                          f"{engine!r}")

@@ -10,9 +10,9 @@ shape (``tools/bench_per_sample.py``, round 4).
 This engine instead runs per-sample control DIRECTLY on the batched
 state, the way torchode does on GPU (PAPERS.md) re-thought for the MXU:
 
-* ONE bounded ``lax.scan`` advances the whole batch in lockstep
-  iterations; the stage sweep stays a full ``(batch, dim)`` MXU matmul
-  every iteration — no per-lane loop, no singleton batches.
+* The whole batch advances in lockstep iterations; the stage sweep stays
+  a full ``(batch, dim)`` MXU matmul every iteration — no per-lane loop,
+  no singleton batches.
 * Controller state is vectorized per lane: ``t``, ``dt``, ``qold``,
   ``done``, accept/reject, and the tolerance-normalized error norm are
   ``(batch,)`` rows (``EEst_i = rms(err_i / (atol + max|y_i| rtol))``
@@ -26,9 +26,19 @@ state, the way torchode does on GPU (PAPERS.md) re-thought for the MXU:
   its own ``t_i``); ``models.basic._t_row`` maps it to the standard
   ``(batch, 1)`` time column, so batched dynamics modules run unchanged.
 
-Gradients flow through the scan by ordinary reverse-mode AD (per-step
-remat keeps residual memory at one stage-sweep's worth); step counts are
-pinned against the vmap engine in tests/test_per_sample.py.
+Two gradient modes (mirroring :func:`regneuralde_tpu.ops.odeint`):
+
+* ``mode="adjoint"`` (default): ``lax.while_loop`` forward that EXITS as
+  soon as every lane is done (the bounded scan executes all ``max_steps``
+  iterations while typically ~half are live), storing the per-iteration
+  step-start carry; a hand-written ``custom_vjp`` backward replays ONLY
+  the executed iterations in a reverse while_loop — the exact discrete
+  adjoint through every accepted and rejected step, per lane. Not
+  twice-differentiable (the backward is itself a while_loop).
+* ``mode="scan"``: bounded ``lax.scan`` with per-step remat; ordinary
+  reverse-mode AD traces through it, so it supports higher-order AD and
+  is the oracle the adjoint mode is pinned against
+  (tests/test_per_sample.py).
 
 Scope (prototype boundaries, checked with clear errors): single 2-D
 array state, explicit FSAL tableaus (tsit5/bosh3/dopri5), final-state
@@ -41,7 +51,6 @@ control is a capability beyond it, costed in BASELINE.md.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
@@ -49,7 +58,14 @@ import jax.numpy as jnp
 from jax import lax
 
 from regneuralde_tpu.ops.controller import PIController
-from regneuralde_tpu.ops.ode import ODESolution, ODEStats, StepTelemetry
+from regneuralde_tpu.ops.ode import (
+    ODESolution,
+    ODEStats,
+    StepTelemetry,
+    _materialize,
+    _materialize_tree,
+    _stamp_like,
+)
 from regneuralde_tpu.ops.tableaus import get_tableau
 
 __all__ = ["odeint_per_sample_batched"]
@@ -92,71 +108,20 @@ def _per_lane_initial_dt(func, t0, y0, f0, args, order, rtol, atol, t1):
     return tdir * dt, f1
 
 
-def odeint_per_sample_batched(
-    func: Callable,
-    y0: jnp.ndarray,
-    t0,
-    t1,
-    args: Any = None,
-    *,
-    solver: str = "tsit5",
-    rtol: float = 1e-6,
-    atol: float = 1e-6,
-    dt0: Optional[float] = None,
-    max_steps: int = 256,
-    controller: Optional[PIController] = None,
-    remat: bool = True,
-    matmul_precision: Optional[str] = "highest",
-) -> ODESolution:
-    """Integrate every batch row under its own adaptive controller, as
-    one dense batched program (see module docstring).
+def _make_step_core(func, tab, ctrl, rtol, atol):
+    """One per-lane-controlled trial step on the full batch.
 
-    Args/returns match :func:`odeint_per_sample` for a single 2-D state:
-    ``stats`` fields are per-sample ``(batch,)`` vectors, ``telemetry``
-    streams are ``(batch, max_steps)``.
-
-    ``matmul_precision`` mirrors :func:`odeint`'s default: TPU bf16 dots
-    flood the embedded error estimate at tight tolerances and EVERY lane
-    caps out (measured round 4: per-lane NFE 578 == the max_steps cap at
-    rtol=1.4e-8 until this context was added; the scan transpose
-    inherits the baked precision, so forward-trace pinning covers the
-    gradient too).
+    Returns ``core(t, dt, qold, y, f0c, done, t0v, t1v, args)`` →
+    ``(t_new, dt_out, qold_out, y_out, f0_out, done_new, accept, live,
+    tel_row)``. Pure in its arguments so the adjoint mode can
+    ``jax.vjp`` the SAME function the forward ran (bitwise-faithful
+    replay from the stored step-start carry).
     """
-    if matmul_precision is not None:
-        with jax.default_matmul_precision(matmul_precision):
-            return odeint_per_sample_batched(
-                func, y0, t0, t1, args, solver=solver, rtol=rtol,
-                atol=atol, dt0=dt0, max_steps=max_steps,
-                controller=controller, remat=remat, matmul_precision=None)
-    y0 = jnp.asarray(y0)
-    if y0.ndim != 2:
-        raise ValueError(
-            f"the batched per-sample engine needs a 2-D (batch, dim) "
-            f"state, got shape {y0.shape}; use engine='vmap' for pytree "
-            f"states")
-    tab = get_tableau(solver)
-    if not tab.fsal:
-        raise NotImplementedError("only FSAL tableaus are supported")
     n_stages = tab.num_stages
-    ctrl = controller or PIController.for_order(tab.order)
-    batch = y0.shape[0]
 
-    t0v = jnp.broadcast_to(jnp.asarray(t0, f32), (batch,))
-    t1v = jnp.broadcast_to(jnp.asarray(t1, f32), (batch,))
-    tdir = jnp.sign(t1v - t0v)
-    span = jnp.abs(t1v - t0v)
-
-    f0 = func(t0v, y0, args)
-    if dt0 is None:
-        dt_init, _ = _per_lane_initial_dt(
-            func, t0v, y0, f0, args, tab.order, rtol, atol, t1v)
-        nfe_init = 2
-    else:
-        dt_init = jnp.broadcast_to(jnp.asarray(dt0, f32), (batch,)) * tdir
-        nfe_init = 1
-
-    def body(carry, _):
-        t, dt, qold, y, f0c, done, na, nr = carry
+    def core(t, dt, qold, y, f0c, done, t0v, t1v, args):
+        tdir = jnp.sign(t1v - t0v)
+        span = jnp.abs(t1v - t0v)
         live = ~done
 
         remaining = t1v - t
@@ -208,11 +173,9 @@ def odeint_per_sample_batched(
         f0_out = jnp.where(upd[:, None], ks[-1], f0c)
         dt_out = jnp.where(live, dt_next, dt)
         qold_out = jnp.where(live, qold_next, qold)
-        na_out = na + (accept & live).astype(jnp.int32)
-        nr_out = nr + ((~accept) & live).astype(jnp.int32)
 
-        zero = jnp.zeros((batch,), f32)
-        tel = StepTelemetry(
+        zero = jnp.zeros_like(t)
+        tel_row = StepTelemetry(
             t=jnp.where(live, jnp.where(is_last, t1v, t + dt_eff), zero),
             dt=jnp.where(live, dt_eff, zero),
             eest=jnp.where(live, eest, zero),
@@ -220,18 +183,263 @@ def odeint_per_sample_batched(
             accepted=accept & live,
             live=live,
         )
-        return (t_new, dt_out, qold_out, y_out, f0_out, done_new,
-                na_out, nr_out), tel
+        return (t_new, dt_out, qold_out, y_out, f0_out, done_new, accept,
+                live, tel_row)
 
-    if remat:
-        body = jax.checkpoint(body)
+    return core
 
-    qold0 = jnp.full((batch,), ctrl.qoldinit, f32)
-    done0 = jnp.zeros((batch,), bool)
-    zi = jnp.zeros((batch,), jnp.int32)
-    carry0 = (t0v, dt_init, qold0, y0, f0, done0, zi, zi)
-    (tf, _dtf, _qf, y1, _ff, done, na, nr), tel = lax.scan(
-        body, carry0, None, length=max_steps)
+
+# ---------------------------------------------------------------------------
+# mode="adjoint": early-exit while_loop forward + custom_vjp backward that
+# replays only the iterations the forward executed (per-lane analogue of
+# ops.ode._make_adjoint_solve — the scan mode's dead iterations past the
+# slowest lane's finish were its measured top remaining cost on the
+# flagship shape, BASELINE.md round 4).
+# ---------------------------------------------------------------------------
+
+
+def _make_adjoint_solve(core, ctrl, max_steps, batch, dim, matmul_precision):
+    def replay(t, dt, qold, y, f0c, done, t0v, t1v, args):
+        """Differentiable outputs of one stored trial step. ``done`` is
+        boolean (nondiff; float0 cotangent dropped by the caller)."""
+        (t_new, dt_out, qold_out, y_out, f0_out, _done_new, _acc, _live,
+         tel) = core(t, dt, qold, y, f0c, done, t0v, t1v, args)
+        return (t_new, dt_out, qold_out, y_out, f0_out,
+                tel.t, tel.dt, tel.eest, tel.eigen_est)
+
+    def _forward(t0v, t1v, dt_init, y0, f0_init, args):
+        tel0 = StepTelemetry(
+            t=jnp.zeros((max_steps, batch), f32),
+            dt=jnp.zeros((max_steps, batch), f32),
+            eest=jnp.zeros((max_steps, batch), f32),
+            eigen_est=jnp.zeros((max_steps, batch), f32),
+            accepted=jnp.zeros((max_steps, batch), bool),
+            live=jnp.zeros((max_steps, batch), bool),
+        )
+        hist0 = (
+            jnp.zeros((max_steps, batch), f32),        # t
+            jnp.zeros((max_steps, batch), f32),        # dt
+            jnp.zeros((max_steps, batch), f32),        # qold
+            jnp.zeros((max_steps, batch, dim), y0.dtype),  # y
+            jnp.zeros((max_steps, batch, dim), y0.dtype),  # f0
+            jnp.zeros((max_steps, batch), bool),       # done at step start
+        )
+        zi = jnp.zeros((batch,), jnp.int32)
+        init = (jnp.asarray(0, jnp.int32), t0v, dt_init,
+                jnp.full((batch,), ctrl.qoldinit, f32), y0, f0_init,
+                jnp.zeros((batch,), bool), zi, zi)
+        # Per-shard-independent solves under shard_map (see ode._stamp_like).
+        init = _stamp_like(y0, init)
+        tel0 = _stamp_like(y0, tel0)
+        hist0 = _stamp_like(y0, hist0)
+
+        def cond(state):
+            (it, _t, _dt, _q, _y, _f, done, _na, _nr), _, _ = state
+            return jnp.any(~done) & (it < max_steps)
+
+        def body(state):
+            (it, t, dt, qold, y, f0c, done, na, nr), tel, hist = state
+            hist = (
+                hist[0].at[it].set(t), hist[1].at[it].set(dt),
+                hist[2].at[it].set(qold), hist[3].at[it].set(y),
+                hist[4].at[it].set(f0c), hist[5].at[it].set(done),
+            )
+            (t_new, dt_out, qold_out, y_out, f0_out, done_new, accept,
+             live, row) = core(t, dt, qold, y, f0c, done, t0v, t1v, args)
+            tel = StepTelemetry(*[b.at[it].set(o) for b, o in zip(tel, row)])
+            na = na + (accept & live).astype(jnp.int32)
+            nr = nr + ((~accept) & live).astype(jnp.int32)
+            return ((it + 1, t_new, dt_out, qold_out, y_out, f0_out,
+                     done_new, na, nr), tel, hist)
+
+        (it, tf, dtf, qoldf, y1, _ff, done, na, nr), tel, hist = (
+            lax.while_loop(cond, body, (init, tel0, hist0)))
+        outs = (y1, tel, tf, dtf, qoldf, done, na, nr)
+        return outs, (hist, it)
+
+    @jax.custom_vjp
+    def solve(t0v, t1v, dt_init, y0, f0_init, args):
+        outs, _ = _forward(t0v, t1v, dt_init, y0, f0_init, args)
+        return outs
+
+    def solve_fwd(t0v, t1v, dt_init, y0, f0_init, args):
+        outs, (hist, n_iters) = _forward(t0v, t1v, dt_init, y0, f0_init,
+                                         args)
+        return outs, (hist, n_iters, t0v, t1v, y0, f0_init, args)
+
+    def solve_bwd(res, cts):
+        # PRECISION IS LOAD-BEARING: traced lazily OUTSIDE the forward's
+        # default_matmul_precision context; the replay re-traces the
+        # dynamics' contractions here. At the TPU bf16 default the
+        # EEst/controller pullback picks up ~4e-3 relative noise that the
+        # ~1/tol amplification turns into garbage gradients (see
+        # ops.ode._make_adjoint_solve and the round-4 batched-engine
+        # on-device regression).
+        if matmul_precision is not None:
+            with jax.default_matmul_precision(matmul_precision):
+                return _solve_bwd_impl(res, cts)
+        return _solve_bwd_impl(res, cts)
+
+    def _solve_bwd_impl(res, cts):
+        hist, n_iters, t0v, t1v, y0, f0_init, args = res
+        (ct_y1, ct_tel, ct_tf, ct_dtf, ct_qoldf, _ct_done, _ct_na,
+         _ct_nr) = cts
+
+        zrow = lambda: jnp.zeros((batch,), f32)
+        carry0 = (
+            n_iters - 1,
+            _materialize(ct_tf, zrow()),
+            _materialize(ct_dtf, zrow()),
+            _materialize(ct_qoldf, zrow()),
+            _materialize_tree(ct_y1, y0),
+            jnp.zeros_like(f0_init),  # ct on the carried FSAL derivative
+            zrow(),                   # accumulated ct into t0v (span)
+            zrow(),                   # accumulated ct into t1v
+            jax.tree_util.tree_map(jnp.zeros_like, args),
+        )
+        carry0 = _stamp_like(hist[3], carry0)
+
+        zbuf = lambda: jnp.zeros((max_steps, batch), f32)
+        ct_tel_t = _materialize(ct_tel.t, zbuf())
+        ct_tel_dt = _materialize(ct_tel.dt, zbuf())
+        ct_tel_eest = _materialize(ct_tel.eest, zbuf())
+        ct_tel_eig = _materialize(ct_tel.eigen_est, zbuf())
+
+        def cond(state):
+            return state[0] >= 0
+
+        def body(state):
+            (i, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_t0x, ct_t1x,
+             ct_args) = state
+            prim = (hist[0][i], hist[1][i], hist[2][i], hist[3][i],
+                    hist[4][i], hist[5][i], t0v, t1v, args)
+            _, vjp_fn = jax.vjp(replay, *prim)
+            (d_t, d_dt, d_qold, d_y, d_f0, _d_done, d_t0, d_t1,
+             d_args) = vjp_fn(
+                (ct_t, ct_dt, ct_qold, ct_y, ct_f0,
+                 ct_tel_t[i], ct_tel_dt[i], ct_tel_eest[i], ct_tel_eig[i]))
+            return (i - 1, d_t, d_dt, d_qold, d_y, d_f0,
+                    ct_t0x + d_t0, ct_t1x + d_t1,
+                    jax.tree_util.tree_map(jnp.add, ct_args, d_args))
+
+        (_, ct_t, ct_dt, _ct_qold, ct_y, ct_f0, ct_t0x, ct_t1x,
+         ct_args) = lax.while_loop(cond, body, carry0)
+
+        return (
+            ct_t + ct_t0x,  # t0v: the t carried into step 0, + span clamps
+            ct_t1x,         # t1v
+            ct_dt,          # dt_init
+            ct_y,           # y0
+            ct_f0,          # f0_init (FSAL seed; flows through func at t0)
+            ct_args,
+        )
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+def odeint_per_sample_batched(
+    func: Callable,
+    y0: jnp.ndarray,
+    t0,
+    t1,
+    args: Any = None,
+    *,
+    solver: str = "tsit5",
+    rtol: float = 1e-6,
+    atol: float = 1e-6,
+    dt0: Optional[float] = None,
+    max_steps: int = 256,
+    mode: str = "adjoint",
+    controller: Optional[PIController] = None,
+    remat: bool = True,
+    matmul_precision: Optional[str] = "highest",
+) -> ODESolution:
+    """Integrate every batch row under its own adaptive controller, as
+    one dense batched program (see module docstring).
+
+    Args/returns match :func:`odeint_per_sample` for a single 2-D state:
+    ``stats`` fields are per-sample ``(batch,)`` vectors, ``telemetry``
+    streams are ``(batch, max_steps)``. ``mode`` selects the gradient
+    engine: ``"adjoint"`` (early-exit while_loop + hand-written
+    custom_vjp backward over only the executed iterations; the default)
+    or ``"scan"`` (bounded remat'd scan, traced AD, twice-
+    differentiable).
+
+    ``matmul_precision`` mirrors :func:`odeint`'s default: TPU bf16 dots
+    flood the embedded error estimate at tight tolerances and EVERY lane
+    caps out (measured round 4: per-lane NFE 578 == the max_steps cap at
+    rtol=1.4e-8 until this context was added). Both the traced scan
+    gradient and the adjoint mode's lazily-traced backward bake it in.
+    """
+    if mode not in ("adjoint", "scan"):
+        raise ValueError(
+            f"mode must be 'adjoint' or 'scan' for the batched per-sample "
+            f"engine, got {mode!r} (engine='vmap' also offers 'while')")
+    if matmul_precision is not None:
+        with jax.default_matmul_precision(matmul_precision):
+            return _run(func, y0, t0, t1, args, solver, rtol, atol, dt0,
+                        max_steps, mode, controller, remat,
+                        matmul_precision)
+    return _run(func, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps,
+                mode, controller, remat, None)
+
+
+def _run(func, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps, mode,
+         controller, remat, matmul_precision):
+    y0 = jnp.asarray(y0)
+    if y0.ndim != 2:
+        raise ValueError(
+            f"the batched per-sample engine needs a 2-D (batch, dim) "
+            f"state, got shape {y0.shape}; use engine='vmap' for pytree "
+            f"states")
+    tab = get_tableau(solver)
+    if not tab.fsal:
+        raise NotImplementedError("only FSAL tableaus are supported")
+    ctrl = controller or PIController.for_order(tab.order)
+    batch, dim = y0.shape
+
+    t0v = jnp.broadcast_to(jnp.asarray(t0, f32), (batch,))
+    t1v = jnp.broadcast_to(jnp.asarray(t1, f32), (batch,))
+    tdir = jnp.sign(t1v - t0v)
+    span = jnp.abs(t1v - t0v)
+
+    f0 = func(t0v, y0, args)
+    if dt0 is None:
+        dt_init, _ = _per_lane_initial_dt(
+            func, t0v, y0, f0, args, tab.order, rtol, atol, t1v)
+        nfe_init = 2
+    else:
+        dt_init = jnp.broadcast_to(jnp.asarray(dt0, f32), (batch,)) * tdir
+        nfe_init = 1
+
+    core = _make_step_core(func, tab, ctrl, rtol, atol)
+    n_stages = tab.num_stages
+
+    if mode == "adjoint":
+        solve = _make_adjoint_solve(core, ctrl, max_steps, batch, dim,
+                                    matmul_precision)
+        y1, tel, _tf, _dtf, _qoldf, done, na, nr = solve(
+            t0v, t1v, dt_init, y0, f0, args)
+    else:
+        def body(carry, _):
+            t, dt, qold, y, f0c, done, na, nr = carry
+            (t_new, dt_out, qold_out, y_out, f0_out, done_new, accept,
+             live, row) = core(t, dt, qold, y, f0c, done, t0v, t1v, args)
+            na_out = na + (accept & live).astype(jnp.int32)
+            nr_out = nr + ((~accept) & live).astype(jnp.int32)
+            return (t_new, dt_out, qold_out, y_out, f0_out, done_new,
+                    na_out, nr_out), row
+
+        if remat:
+            body = jax.checkpoint(body)
+
+        qold0 = jnp.full((batch,), ctrl.qoldinit, f32)
+        done0 = jnp.zeros((batch,), bool)
+        zi = jnp.zeros((batch,), jnp.int32)
+        carry0 = (t0v, dt_init, qold0, y0, f0, done0, zi, zi)
+        (tf, _dtf, _qf, y1, _ff, done, na, nr), tel = lax.scan(
+            body, carry0, None, length=max_steps)
 
     nfe = nfe_init + (n_stages - 1) * (na + nr)
     stats = ODEStats(nfe=nfe, naccept=na, nreject=nr, success=done)

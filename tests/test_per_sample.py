@@ -441,3 +441,90 @@ class TestBatchedEngine:
                               engine="batched", **KW)
         with pytest.raises(ValueError, match="engine"):
             odeint_per_sample(oscillator, Y0, 0.0, 1.0, engine="nope", **KW)
+        with pytest.raises(ValueError, match="mode"):
+            odeint_per_sample(oscillator, Y0, 0.0, 1.0, engine="batched",
+                              mode="nope", **KW)
+
+
+class TestBatchedAdjointMode:
+    """engine='batched' mode='adjoint' (the default): early-exit
+    while_loop forward + custom_vjp backward replaying only the executed
+    iterations. Pinned against mode='scan' (traced AD through the
+    bounded remat'd scan), whose forward runs the identical op sequence
+    for live iterations — values and per-lane step counts must match
+    EXACTLY, gradients to adjoint-replay roundoff."""
+
+    def test_forward_matches_scan_mode(self):
+        ss = odeint_per_sample(oscillator, Y0, 0.0, 1.0, engine="batched",
+                               mode="scan", **KW)
+        sa = odeint_per_sample(oscillator, Y0, 0.0, 1.0, engine="batched",
+                               mode="adjoint", **KW)
+        np.testing.assert_array_equal(np.asarray(ss.stats.nfe),
+                                      np.asarray(sa.stats.nfe))
+        np.testing.assert_array_equal(np.asarray(ss.stats.nreject),
+                                      np.asarray(sa.stats.nreject))
+        np.testing.assert_allclose(np.asarray(sa.y1), np.asarray(ss.y1),
+                                   rtol=1e-6, atol=1e-7)
+        assert bool(sa.stats.success.all())
+        # telemetry streams agree row-for-row (incl. zeroed dead rows)
+        for name in ("t", "dt", "eest", "accepted", "live"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sa.telemetry, name)),
+                np.asarray(getattr(ss.telemetry, name)),
+                rtol=1e-6, atol=1e-7, err_msg=name)
+
+    def test_gradients_match_scan_mode(self):
+        def loss(y0, t1, mode):
+            s = odeint_per_sample(oscillator, y0, 0.0, t1,
+                                  engine="batched", mode=mode, **KW)
+            task = jnp.sum(s.y1[:, :2] ** 2)
+            r = reg.error_estimate(s.telemetry, agg="mean")
+            return task + 0.1 * r
+
+        t1 = jnp.asarray([0.5, 1.0, 1.5])  # per-sample tspan on the tape
+        ga = jax.grad(lambda y, t: loss(y, t, "adjoint"), argnums=(0, 1))(
+            Y0, t1)
+        gs = jax.grad(lambda y, t: loss(y, t, "scan"), argnums=(0, 1))(
+            Y0, t1)
+        np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gs[0]),
+                                   rtol=5e-3, atol=1e-4)
+        # d/dt1 flows through is_last clamps and the EEst*dt reg
+        np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gs[1]),
+                                   rtol=5e-3, atol=1e-4)
+
+    def test_args_gradients_match_scan_mode(self):
+        A = jax.random.normal(jax.random.PRNGKey(0), (3, 3)) * 0.4
+
+        def f(t, y, args):
+            (A,) = args
+            return jnp.tanh(y @ A)
+
+        y0 = jnp.stack([jnp.ones(3), 2 * jnp.ones(3), -jnp.ones(3)])
+
+        def loss(A, mode):
+            s = odeint_per_sample(f, y0, 0.0, 1.0, (A,), engine="batched",
+                                  mode=mode, rtol=1e-6, atol=1e-6,
+                                  max_steps=64)
+            return jnp.sum(s.y1 ** 2)
+
+        ga = jax.grad(lambda a: loss(a, "adjoint"))(A)
+        gs = jax.grad(lambda a: loss(a, "scan"))(A)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gs),
+                                   rtol=5e-3, atol=1e-5)
+
+    def test_neural_ode_mode_routing(self):
+        """NeuralODE(per_sample='batched') threads its call mode into the
+        engine; 'while' maps onto the adjoint forward."""
+        model = NeuralODE(MLPDynamics(dim=6, hidden=8), time_dep=True,
+                          per_sample="batched", rtol=1e-4, atol=1e-4,
+                          max_steps=64)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 6)) * 0.3
+        params = model.init(jax.random.PRNGKey(2), x)
+        outs = {m: model(params, x, mode=m)
+                for m in ("adjoint", "scan", "while")}
+        for m in ("scan", "while"):
+            np.testing.assert_allclose(
+                np.asarray(outs[m].value), np.asarray(outs["adjoint"].value),
+                rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(outs[m].nfe),
+                                          np.asarray(outs["adjoint"].nfe))

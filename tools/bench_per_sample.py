@@ -58,19 +58,25 @@ def main():
         "global": dict(fused=True, per_sample=False),
         "global_unf": dict(fused=False, per_sample=False),
         "per_sample": dict(fused=False, per_sample=True),
-        # per-lane-controller dense engine (ops.per_sample_batched):
-        # same semantics, no vmap'd per-lane buffer updates
+        # per-lane-controller dense engine (ops.per_sample_batched).
+        # Default mode="adjoint": early-exit while forward + custom_vjp
+        # backward over only the executed iterations; the _scan leg pays
+        # all max_steps iterations (the round-4 headroom note).
         "per_sample_batched": dict(fused=False, per_sample="batched"),
+        "per_sample_batched_scan": dict(fused=False, per_sample="batched",
+                                        mode="scan"),
     }
     fns, nfes = {}, {}
     for name, kw in variants.items():
+        kw = dict(kw)
+        loss_mode = kw.pop("mode", "adjoint")
         node = NeuralODE(MLPDynamics(dim=D, hidden=H), tspan=(0.0, 1.0),
                          time_dep=True, rtol=RT, atol=RT, max_steps=96, **kw)
         clf = ClassifierNODE(None, node, nn.Dense(10))
         p = clf.init(jax.random.PRNGKey(1), x)
 
-        def loss(p, clf=clf):
-            out = clf(p, x)
+        def loss(p, clf=clf, loss_mode=loss_mode):
+            out = clf(p, x, mode=loss_mode)
             ce = optax.softmax_cross_entropy(out.logits, y).mean()
             return ce + 1e2 * reg.error_estimate(out.telemetry, agg="mean")
 
@@ -121,6 +127,8 @@ def main():
         out["per_sample_batched_ms"] / out["global_ms"], 2)
     out["batched_vs_vmap_speedup"] = round(
         out["per_sample_ms"] / out["per_sample_batched_ms"], 2)
+    out["adjoint_vs_scan_speedup"] = round(
+        out["per_sample_batched_scan_ms"] / out["per_sample_batched_ms"], 2)
     print(json.dumps(out))
 
 
