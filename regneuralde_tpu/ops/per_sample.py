@@ -154,15 +154,12 @@ def odeint_per_sample(
         # Per-lane-controller engine: same semantics, one dense batched
         # program (no vmap'd per-lane buffer updates — 11-14x faster on
         # the flagship shape, see ops.per_sample_batched). Scoped to
-        # single 2-D states and final-state solves.
+        # single 2-D states; saveat (shared or per-sample grids) is a
+        # dense masked Hermite write.
         from regneuralde_tpu.ops.per_sample_batched import (
             odeint_per_sample_batched,
         )
 
-        if saveat is not None:
-            raise ValueError(
-                "engine='batched' supports final-state solves only; "
-                "use engine='vmap' for saveat trajectories")
         if not (hasattr(y0, "ndim") and y0.ndim == 2):
             raise ValueError(
                 "engine='batched' needs a bare 2-D (batch, dim) state "
@@ -173,7 +170,8 @@ def odeint_per_sample(
             # it just also carries a hand-written backward.
             mode = "adjoint"
         return odeint_per_sample_batched(func, y0, t0, t1, args,
-                                         mode=mode or "adjoint", **kwargs)
+                                         mode=mode or "adjoint",
+                                         saveat=saveat, **kwargs)
     if engine != "vmap":
         raise ValueError(f"engine must be 'vmap' or 'batched', got "
                          f"{engine!r}")

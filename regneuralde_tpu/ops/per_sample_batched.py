@@ -40,9 +40,15 @@ Two gradient modes (mirroring :func:`regneuralde_tpu.ops.odeint`):
   is the oracle the adjoint mode is pinned against
   (tests/test_per_sample.py).
 
+``saveat`` (a shared ``(n_save,)`` grid or a per-sample
+``(batch, n_save)`` grid — each sample decoded at its OWN stamps) is
+supported in both modes as a DENSE masked Hermite write: every accepted
+step interpolates all its covered save points for the whole batch in
+one ``(batch, n_save, dim)`` ``where`` — no per-lane save cursor, no
+scattering (the very op class that makes the vmap engine slow).
+
 Scope (prototype boundaries, checked with clear errors): single 2-D
-array state, explicit FSAL tableaus (tsit5/bosh3/dopri5), final-state
-solves (``saveat`` stays on the vmap engine).
+array state, explicit FSAL tableaus (tsit5/bosh3/dopri5).
 
 Reference relation: the reference solves the whole batch as ONE ODE
 state with one global norm (src/models/neural_ode.jl:62); per-sample
@@ -108,18 +114,22 @@ def _per_lane_initial_dt(func, t0, y0, f0, args, order, rtol, atol, t1):
     return tdir * dt, f1
 
 
-def _make_step_core(func, tab, ctrl, rtol, atol):
+def _make_step_core(func, tab, ctrl, rtol, atol, has_saveat):
     """One per-lane-controlled trial step on the full batch.
 
-    Returns ``core(t, dt, qold, y, f0c, done, t0v, t1v, args)`` →
-    ``(t_new, dt_out, qold_out, y_out, f0_out, done_new, accept, live,
-    tel_row)``. Pure in its arguments so the adjoint mode can
-    ``jax.vjp`` the SAME function the forward ran (bitwise-faithful
-    replay from the stored step-start carry).
+    Returns ``core(t, dt, qold, y, f0c, done, ys_buf, t0v, t1v, saveat,
+    args)`` → ``(t_new, dt_out, qold_out, y_out, f0_out, done_new,
+    ys_out, accept, live, tel_row)``. Pure in its arguments so the
+    adjoint mode can ``jax.vjp`` the SAME function the forward ran
+    (bitwise-faithful replay from the stored step-start carry).
+    ``ys_buf``/``saveat`` are ``()`` when ``has_saveat`` is false;
+    otherwise ``ys_buf`` is ``(batch, n_save, dim)`` (internal layout —
+    the batch-major write is one dense fused ``where``) and ``saveat``
+    is ``(batch, n_save)``.
     """
     n_stages = tab.num_stages
 
-    def core(t, dt, qold, y, f0c, done, t0v, t1v, args):
+    def core(t, dt, qold, y, f0c, done, ys_buf, t0v, t1v, saveat, args):
         tdir = jnp.sign(t1v - t0v)
         span = jnp.abs(t1v - t0v)
         live = ~done
@@ -174,6 +184,26 @@ def _make_step_core(func, tab, ctrl, rtol, atol):
         dt_out = jnp.where(live, dt_next, dt)
         qold_out = jnp.where(live, qold_next, qold)
 
+        ys_out = ys_buf
+        if has_saveat:
+            # Dense masked Hermite write: same window/interpolant as the
+            # global engine (ops.ode._make_step_fn / _hermite_eval), per
+            # lane. One fused (batch, n_save, dim) where per trial step.
+            t_end = jnp.where(is_last, t1v, t + dt_eff)
+            win = (upd[:, None]
+                   & ((saveat - t[:, None]) * tdir[:, None] > 0)
+                   & ((saveat - t_end[:, None]) * tdir[:, None] <= 0))
+            th = ((saveat - t[:, None])
+                  / jnp.where(de == 0, 1.0, de))[:, :, None]
+            hh = dt_eff[:, None, None]
+            yb, ynb = y[:, None, :], y_new[:, None, :]
+            dy = ynb - yb
+            yi = ((1 - th) * yb + th * ynb
+                  + th * (th - 1) * ((1 - 2 * th) * dy
+                                     + (th - 1) * hh * f0c[:, None, :]
+                                     + th * hh * ks[-1][:, None, :]))
+            ys_out = jnp.where(win[:, :, None], yi, ys_buf)
+
         zero = jnp.zeros_like(t)
         tel_row = StepTelemetry(
             t=jnp.where(live, jnp.where(is_last, t1v, t + dt_eff), zero),
@@ -183,8 +213,8 @@ def _make_step_core(func, tab, ctrl, rtol, atol):
             accepted=accept & live,
             live=live,
         )
-        return (t_new, dt_out, qold_out, y_out, f0_out, done_new, accept,
-                live, tel_row)
+        return (t_new, dt_out, qold_out, y_out, f0_out, done_new, ys_out,
+                accept, live, tel_row)
 
     return core
 
@@ -199,15 +229,22 @@ def _make_step_core(func, tab, ctrl, rtol, atol):
 
 
 def _make_adjoint_solve(core, ctrl, max_steps, batch, dim, matmul_precision):
-    def replay(t, dt, qold, y, f0c, done, t0v, t1v, args):
+    def replay(t, dt, qold, y, f0c, done, ys_buf, t0v, t1v, saveat, args):
         """Differentiable outputs of one stored trial step. ``done`` is
-        boolean (nondiff; float0 cotangent dropped by the caller)."""
-        (t_new, dt_out, qold_out, y_out, f0_out, _done_new, _acc, _live,
-         tel) = core(t, dt, qold, y, f0c, done, t0v, t1v, args)
-        return (t_new, dt_out, qold_out, y_out, f0_out,
+        boolean (nondiff; float0 cotangent dropped by the caller).
+        ``ys_buf`` is passed as zeros during the backward replay — the
+        step's ys output is ``where(window, interp, ys_in)``, linear in
+        ``ys_in`` with value-independent coefficients, so its vjp is
+        exact regardless of the primal buffer contents (same trick as
+        ops.ode._make_adjoint_solve)."""
+        (t_new, dt_out, qold_out, y_out, f0_out, _done_new, ys_out, _acc,
+         _live, tel) = core(t, dt, qold, y, f0c, done, ys_buf, t0v, t1v,
+                            saveat, args)
+        return (t_new, dt_out, qold_out, y_out, f0_out, ys_out,
                 tel.t, tel.dt, tel.eest, tel.eigen_est)
 
-    def _forward(t0v, t1v, dt_init, y0, f0_init, args):
+    def _forward(t0v, t1v, dt_init, y0, f0_init, ys_buf_init, saveat,
+                 args):
         tel0 = StepTelemetry(
             t=jnp.zeros((max_steps, batch), f32),
             dt=jnp.zeros((max_steps, batch), f32),
@@ -227,45 +264,49 @@ def _make_adjoint_solve(core, ctrl, max_steps, batch, dim, matmul_precision):
         zi = jnp.zeros((batch,), jnp.int32)
         init = (jnp.asarray(0, jnp.int32), t0v, dt_init,
                 jnp.full((batch,), ctrl.qoldinit, f32), y0, f0_init,
-                jnp.zeros((batch,), bool), zi, zi)
+                jnp.zeros((batch,), bool), ys_buf_init, zi, zi)
         # Per-shard-independent solves under shard_map (see ode._stamp_like).
         init = _stamp_like(y0, init)
         tel0 = _stamp_like(y0, tel0)
         hist0 = _stamp_like(y0, hist0)
 
         def cond(state):
-            (it, _t, _dt, _q, _y, _f, done, _na, _nr), _, _ = state
+            (it, _t, _dt, _q, _y, _f, done, _ys, _na, _nr), _, _ = state
             return jnp.any(~done) & (it < max_steps)
 
         def body(state):
-            (it, t, dt, qold, y, f0c, done, na, nr), tel, hist = state
+            (it, t, dt, qold, y, f0c, done, ys_buf, na, nr), tel, hist = state
             hist = (
                 hist[0].at[it].set(t), hist[1].at[it].set(dt),
                 hist[2].at[it].set(qold), hist[3].at[it].set(y),
                 hist[4].at[it].set(f0c), hist[5].at[it].set(done),
             )
-            (t_new, dt_out, qold_out, y_out, f0_out, done_new, accept,
-             live, row) = core(t, dt, qold, y, f0c, done, t0v, t1v, args)
+            (t_new, dt_out, qold_out, y_out, f0_out, done_new, ys_out,
+             accept, live, row) = core(t, dt, qold, y, f0c, done, ys_buf,
+                                       t0v, t1v, saveat, args)
             tel = StepTelemetry(*[b.at[it].set(o) for b, o in zip(tel, row)])
             na = na + (accept & live).astype(jnp.int32)
             nr = nr + ((~accept) & live).astype(jnp.int32)
             return ((it + 1, t_new, dt_out, qold_out, y_out, f0_out,
-                     done_new, na, nr), tel, hist)
+                     done_new, ys_out, na, nr), tel, hist)
 
-        (it, tf, dtf, qoldf, y1, _ff, done, na, nr), tel, hist = (
+        (it, tf, dtf, qoldf, y1, _ff, done, ys, na, nr), tel, hist = (
             lax.while_loop(cond, body, (init, tel0, hist0)))
-        outs = (y1, tel, tf, dtf, qoldf, done, na, nr)
+        outs = (y1, tel, ys, tf, dtf, qoldf, done, na, nr)
         return outs, (hist, it)
 
     @jax.custom_vjp
-    def solve(t0v, t1v, dt_init, y0, f0_init, args):
-        outs, _ = _forward(t0v, t1v, dt_init, y0, f0_init, args)
+    def solve(t0v, t1v, dt_init, y0, f0_init, ys_buf_init, saveat, args):
+        outs, _ = _forward(t0v, t1v, dt_init, y0, f0_init, ys_buf_init,
+                           saveat, args)
         return outs
 
-    def solve_fwd(t0v, t1v, dt_init, y0, f0_init, args):
+    def solve_fwd(t0v, t1v, dt_init, y0, f0_init, ys_buf_init, saveat,
+                  args):
         outs, (hist, n_iters) = _forward(t0v, t1v, dt_init, y0, f0_init,
-                                         args)
-        return outs, (hist, n_iters, t0v, t1v, y0, f0_init, args)
+                                         ys_buf_init, saveat, args)
+        return outs, (hist, n_iters, t0v, t1v, y0, f0_init, ys_buf_init,
+                      saveat, args)
 
     def solve_bwd(res, cts):
         # PRECISION IS LOAD-BEARING: traced lazily OUTSIDE the forward's
@@ -281,10 +322,15 @@ def _make_adjoint_solve(core, ctrl, max_steps, batch, dim, matmul_precision):
         return _solve_bwd_impl(res, cts)
 
     def _solve_bwd_impl(res, cts):
-        hist, n_iters, t0v, t1v, y0, f0_init, args = res
-        (ct_y1, ct_tel, ct_tf, ct_dtf, ct_qoldf, _ct_done, _ct_na,
-         _ct_nr) = cts
+        (hist, n_iters, t0v, t1v, y0, f0_init, ys_buf_init, saveat,
+         args) = res
+        (ct_y1, ct_tel, ct_ys_out, ct_tf, ct_dtf, ct_qoldf, _ct_done,
+         _ct_na, _ct_nr) = cts
 
+        def zlike(tree):
+            return jax.tree_util.tree_map(jnp.zeros_like, tree)
+
+        ys_zero = zlike(ys_buf_init)
         zrow = lambda: jnp.zeros((batch,), f32)
         carry0 = (
             n_iters - 1,
@@ -293,9 +339,11 @@ def _make_adjoint_solve(core, ctrl, max_steps, batch, dim, matmul_precision):
             _materialize(ct_qoldf, zrow()),
             _materialize_tree(ct_y1, y0),
             jnp.zeros_like(f0_init),  # ct on the carried FSAL derivative
+            _materialize_tree(ct_ys_out, ys_buf_init),
+            zlike(saveat),            # accumulated ct into saveat
             zrow(),                   # accumulated ct into t0v (span)
             zrow(),                   # accumulated ct into t1v
-            jax.tree_util.tree_map(jnp.zeros_like, args),
+            zlike(args),
         )
         carry0 = _stamp_like(hist[3], carry0)
 
@@ -309,21 +357,23 @@ def _make_adjoint_solve(core, ctrl, max_steps, batch, dim, matmul_precision):
             return state[0] >= 0
 
         def body(state):
-            (i, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_t0x, ct_t1x,
-             ct_args) = state
+            (i, ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys, ct_sa, ct_t0x,
+             ct_t1x, ct_args) = state
             prim = (hist[0][i], hist[1][i], hist[2][i], hist[3][i],
-                    hist[4][i], hist[5][i], t0v, t1v, args)
+                    hist[4][i], hist[5][i], ys_zero, t0v, t1v, saveat,
+                    args)
             _, vjp_fn = jax.vjp(replay, *prim)
-            (d_t, d_dt, d_qold, d_y, d_f0, _d_done, d_t0, d_t1,
-             d_args) = vjp_fn(
-                (ct_t, ct_dt, ct_qold, ct_y, ct_f0,
+            (d_t, d_dt, d_qold, d_y, d_f0, _d_done, d_ys, d_t0, d_t1,
+             d_sa, d_args) = vjp_fn(
+                (ct_t, ct_dt, ct_qold, ct_y, ct_f0, ct_ys,
                  ct_tel_t[i], ct_tel_dt[i], ct_tel_eest[i], ct_tel_eig[i]))
-            return (i - 1, d_t, d_dt, d_qold, d_y, d_f0,
+            return (i - 1, d_t, d_dt, d_qold, d_y, d_f0, d_ys,
+                    jax.tree_util.tree_map(jnp.add, ct_sa, d_sa),
                     ct_t0x + d_t0, ct_t1x + d_t1,
                     jax.tree_util.tree_map(jnp.add, ct_args, d_args))
 
-        (_, ct_t, ct_dt, _ct_qold, ct_y, ct_f0, ct_t0x, ct_t1x,
-         ct_args) = lax.while_loop(cond, body, carry0)
+        (_, ct_t, ct_dt, _ct_qold, ct_y, ct_f0, ct_ys, ct_sa, ct_t0x,
+         ct_t1x, ct_args) = lax.while_loop(cond, body, carry0)
 
         return (
             ct_t + ct_t0x,  # t0v: the t carried into step 0, + span clamps
@@ -331,6 +381,8 @@ def _make_adjoint_solve(core, ctrl, max_steps, batch, dim, matmul_precision):
             ct_dt,          # dt_init
             ct_y,           # y0
             ct_f0,          # f0_init (FSAL seed; flows through func at t0)
+            ct_ys,          # ys_buf_init (pass-through outside windows)
+            ct_sa,          # saveat (interpolation stamps)
             ct_args,
         )
 
@@ -351,6 +403,7 @@ def odeint_per_sample_batched(
     dt0: Optional[float] = None,
     max_steps: int = 256,
     mode: str = "adjoint",
+    saveat: Optional[jnp.ndarray] = None,
     controller: Optional[PIController] = None,
     remat: bool = True,
     matmul_precision: Optional[str] = "highest",
@@ -360,11 +413,13 @@ def odeint_per_sample_batched(
 
     Args/returns match :func:`odeint_per_sample` for a single 2-D state:
     ``stats`` fields are per-sample ``(batch,)`` vectors, ``telemetry``
-    streams are ``(batch, max_steps)``. ``mode`` selects the gradient
-    engine: ``"adjoint"`` (early-exit while_loop + hand-written
-    custom_vjp backward over only the executed iterations; the default)
-    or ``"scan"`` (bounded remat'd scan, traced AD, twice-
-    differentiable).
+    streams are ``(batch, max_steps)``. ``saveat`` is a shared
+    ``(n_save,)`` grid or a per-sample ``(batch, n_save)`` grid;
+    ``ys`` comes back ``(n_save, batch, dim)`` (the engine convention).
+    ``mode`` selects the gradient engine: ``"adjoint"`` (early-exit
+    while_loop + hand-written custom_vjp backward over only the executed
+    iterations; the default) or ``"scan"`` (bounded remat'd scan, traced
+    AD, twice-differentiable).
 
     ``matmul_precision`` mirrors :func:`odeint`'s default: TPU bf16 dots
     flood the embedded error estimate at tight tolerances and EVERY lane
@@ -379,14 +434,14 @@ def odeint_per_sample_batched(
     if matmul_precision is not None:
         with jax.default_matmul_precision(matmul_precision):
             return _run(func, y0, t0, t1, args, solver, rtol, atol, dt0,
-                        max_steps, mode, controller, remat,
+                        max_steps, mode, saveat, controller, remat,
                         matmul_precision)
     return _run(func, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps,
-                mode, controller, remat, None)
+                mode, saveat, controller, remat, None)
 
 
 def _run(func, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps, mode,
-         controller, remat, matmul_precision):
+         saveat, controller, remat, matmul_precision):
     y0 = jnp.asarray(y0)
     if y0.ndim != 2:
         raise ValueError(
@@ -404,6 +459,27 @@ def _run(func, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps, mode,
     tdir = jnp.sign(t1v - t0v)
     span = jnp.abs(t1v - t0v)
 
+    shared_grid = False
+    if saveat is not None:
+        saveat = jnp.asarray(saveat, f32)
+        shared_grid = saveat.ndim == 1
+        if shared_grid:
+            saveat = jnp.broadcast_to(saveat[None], (batch, saveat.shape[0]))
+        if saveat.ndim != 2 or saveat.shape[0] != batch:
+            raise ValueError(
+                f"saveat must be (n_save,) or ({batch}, n_save); got "
+                f"shape {saveat.shape}")
+        # Entries at/before each lane's t0 hold the initial state
+        # (OrdinaryDiffEq saves u0 when saveat contains t0 — same
+        # seeding as ops.odeint).
+        at_start = (saveat - t0v[:, None]) * tdir[:, None] <= 0
+        ys0 = jnp.where(at_start[:, :, None],
+                        y0[:, None, :],
+                        jnp.zeros((batch, saveat.shape[1], dim), y0.dtype))
+    else:
+        ys0 = ()
+        saveat = ()
+
     f0 = func(t0v, y0, args)
     if dt0 is None:
         dt_init, _ = _per_lane_initial_dt(
@@ -413,23 +489,25 @@ def _run(func, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps, mode,
         dt_init = jnp.broadcast_to(jnp.asarray(dt0, f32), (batch,)) * tdir
         nfe_init = 1
 
-    core = _make_step_core(func, tab, ctrl, rtol, atol)
+    has_saveat = not isinstance(saveat, tuple)
+    core = _make_step_core(func, tab, ctrl, rtol, atol, has_saveat)
     n_stages = tab.num_stages
 
     if mode == "adjoint":
         solve = _make_adjoint_solve(core, ctrl, max_steps, batch, dim,
                                     matmul_precision)
-        y1, tel, _tf, _dtf, _qoldf, done, na, nr = solve(
-            t0v, t1v, dt_init, y0, f0, args)
+        y1, tel, ys, _tf, _dtf, _qoldf, done, na, nr = solve(
+            t0v, t1v, dt_init, y0, f0, ys0, saveat, args)
     else:
         def body(carry, _):
-            t, dt, qold, y, f0c, done, na, nr = carry
-            (t_new, dt_out, qold_out, y_out, f0_out, done_new, accept,
-             live, row) = core(t, dt, qold, y, f0c, done, t0v, t1v, args)
+            t, dt, qold, y, f0c, done, ys_buf, na, nr = carry
+            (t_new, dt_out, qold_out, y_out, f0_out, done_new, ys_out,
+             accept, live, row) = core(t, dt, qold, y, f0c, done, ys_buf,
+                                       t0v, t1v, saveat, args)
             na_out = na + (accept & live).astype(jnp.int32)
             nr_out = nr + ((~accept) & live).astype(jnp.int32)
             return (t_new, dt_out, qold_out, y_out, f0_out, done_new,
-                    na_out, nr_out), row
+                    ys_out, na_out, nr_out), row
 
         if remat:
             body = jax.checkpoint(body)
@@ -437,12 +515,19 @@ def _run(func, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps, mode,
         qold0 = jnp.full((batch,), ctrl.qoldinit, f32)
         done0 = jnp.zeros((batch,), bool)
         zi = jnp.zeros((batch,), jnp.int32)
-        carry0 = (t0v, dt_init, qold0, y0, f0, done0, zi, zi)
-        (tf, _dtf, _qf, y1, _ff, done, na, nr), tel = lax.scan(
+        carry0 = (t0v, dt_init, qold0, y0, f0, done0, ys0, zi, zi)
+        (tf, _dtf, _qf, y1, _ff, done, ys, na, nr), tel = lax.scan(
             body, carry0, None, length=max_steps)
 
     nfe = nfe_init + (n_stages - 1) * (na + nr)
     stats = ODEStats(nfe=nfe, naccept=na, nreject=nr, success=done)
     # (max_steps, batch) -> the per-sample convention (batch, max_steps)
     tel = StepTelemetry(*(jnp.swapaxes(s, 0, 1) for s in tel))
+    if has_saveat:
+        # internal (batch, n_save, dim) -> engine convention
+        # (n_save, batch, dim); ts mirrors odeint_per_sample's contract.
+        ys_out = jnp.swapaxes(ys, 0, 1)
+        ts = saveat[0] if shared_grid else saveat
+        return ODESolution(y1=y1, ys=ys_out, ts=ts, stats=stats,
+                           telemetry=tel)
     return ODESolution(y1=y1, ys=None, ts=None, stats=stats, telemetry=tel)

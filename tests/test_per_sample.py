@@ -433,9 +433,6 @@ class TestBatchedEngine:
                                        rtol=2e-4, atol=1e-6)
 
     def test_scope_errors(self):
-        with pytest.raises(ValueError, match="final-state"):
-            odeint_per_sample(oscillator, Y0, 0.0, 1.0, engine="batched",
-                              saveat=jnp.linspace(0, 1, 5), **KW)
         with pytest.raises(ValueError, match="2-D"):
             odeint_per_sample(lambda t, y, a: y, {"a": Y0}, 0.0, 1.0,
                               engine="batched", **KW)
@@ -511,6 +508,77 @@ class TestBatchedAdjointMode:
         gs = jax.grad(lambda a: loss(a, "scan"))(A)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gs),
                                    rtol=5e-3, atol=1e-5)
+
+    def test_saveat_matches_vmap_engine(self):
+        """Shared-grid saveat: the dense masked Hermite write must
+        reproduce the vmap engine's per-lane save cursor (same window
+        convention, same interpolant, u0 seeding at stamps <= t0)."""
+        sa = jnp.asarray([0.0, 0.2, 0.5, 0.8, 1.0])
+        sv = odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="scan",
+                               saveat=sa, **KW)
+        for mode in ("scan", "adjoint"):
+            sb = odeint_per_sample(oscillator, Y0, 0.0, 1.0,
+                                   engine="batched", mode=mode, saveat=sa,
+                                   **KW)
+            assert sb.ys.shape == (5, 3, 3)
+            np.testing.assert_allclose(np.asarray(sb.ys),
+                                       np.asarray(sv.ys),
+                                       rtol=2e-4, atol=1e-5, err_msg=mode)
+            np.testing.assert_array_equal(np.asarray(sb.ts),
+                                          np.asarray(sa))
+
+    def test_per_sample_saveat_grid_matches_vmap(self):
+        """Per-sample (batch, n_save) grids: each lane decoded at its OWN
+        stamps."""
+        sa = jnp.stack([jnp.linspace(0.0, 1.0, 4),
+                        jnp.linspace(0.1, 0.9, 4),
+                        jnp.linspace(0.0, 0.5, 4)])
+        sv = odeint_per_sample(oscillator, Y0, 0.0, 1.0, mode="scan",
+                               saveat=sa, **KW)
+        sb = odeint_per_sample(oscillator, Y0, 0.0, 1.0, engine="batched",
+                               saveat=sa, **KW)
+        assert sb.ys.shape == sv.ys.shape == (4, 3, 3)
+        np.testing.assert_allclose(np.asarray(sb.ys), np.asarray(sv.ys),
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(sb.ts), np.asarray(sa))
+
+    def test_saveat_gradients_match_scan(self):
+        sa = jnp.asarray([0.3, 0.6, 1.0])
+
+        def loss(y0, sa, mode):
+            s = odeint_per_sample(oscillator, y0, 0.0, 1.0,
+                                  engine="batched", mode=mode, saveat=sa,
+                                  **KW)
+            return jnp.sum(s.ys[:, :, :2] ** 2)
+
+        ga = jax.grad(lambda y, s: loss(y, s, "adjoint"), argnums=(0, 1))(
+            Y0, sa)
+        gs = jax.grad(lambda y, s: loss(y, s, "scan"), argnums=(0, 1))(
+            Y0, sa)
+        np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gs[0]),
+                                   rtol=5e-3, atol=1e-4)
+        # d/d(saveat) flows through the Hermite interpolation stamps
+        np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gs[1]),
+                                   rtol=5e-3, atol=1e-4)
+        assert float(np.abs(np.asarray(ga[1])).max()) > 0
+
+    def test_neural_ode_saveat_routing(self):
+        """NeuralODE(per_sample='batched', saveat=...) returns the
+        (batch, n_save, dim) trajectory like the vmap engine."""
+        dyn = MLPDynamics(dim=4, hidden=8)
+        sa = jnp.linspace(0.0, 1.0, 5)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 4)) * 0.3
+        node_b = NeuralODE(dyn, time_dep=True, rtol=1e-5, atol=1e-5,
+                           max_steps=128, saveat=sa, per_sample="batched")
+        p = node_b.init(jax.random.PRNGKey(1), x)
+        out_b = node_b(p, x)
+        assert out_b.value.shape == (3, 5, 4)
+        node_v = NeuralODE(dyn, time_dep=True, rtol=1e-5, atol=1e-5,
+                           max_steps=128, saveat=sa, per_sample=True)
+        out_v = node_v(p, x, mode="scan")
+        np.testing.assert_allclose(np.asarray(out_b.value),
+                                   np.asarray(out_v.value),
+                                   rtol=2e-4, atol=1e-5)
 
     def test_neural_ode_mode_routing(self):
         """NeuralODE(per_sample='batched') threads its call mode into the

@@ -192,6 +192,15 @@ def per_sample_batched_on_device():
     np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(gv[0]),
                                rtol=5e-3, atol=1e-4)
 
+    # saveat trajectories (dense masked Hermite write) on the chip
+    sa = jnp.asarray([0.0, 0.4, 1.0])
+    tv = jax.jit(lambda y: odeint_per_sample(
+        f, y, 0.0, 1.0, (A,), mode="scan", saveat=sa, **kw))(y0)
+    tb = jax.jit(lambda y: odeint_per_sample(
+        f, y, 0.0, 1.0, (A,), engine="batched", saveat=sa, **kw))(y0)
+    np.testing.assert_allclose(np.asarray(tb.ys), np.asarray(tv.ys),
+                               rtol=2e-4, atol=1e-5)
+
 
 def run_all():
     """Run every on-device regression; returns ``(passed, failed)``.
