@@ -143,7 +143,12 @@ class FFJORD:
                 whole_solve_odeint,
             )
 
-            eligible = (
+            # Mosaic sublane alignment: misaligned batches FAULT the TPU
+            # worker inside whole-solve kernels (see ops.pallas_solve);
+            # they fall through to the step/unfused engines below.
+            aligned = (batch % 8 == 0
+                       or jax.default_backend() == "cpu")
+            eligible = aligned and (
                 self.fused == "solve"
                 or (self.fused is True
                     and vmem_estimate(batch, u0.shape[-1]) <= 12 * 2**20)
@@ -163,10 +168,16 @@ class FFJORD:
         stage_sweep_bwd = None
         if self.fused:
             from regneuralde_tpu.ops.pallas_generic import make_csl_ffjord_sweep
+            from regneuralde_tpu.ops.pallas_mlp import fused_tiling_ok
 
-            stage_sweep, stage_sweep_bwd = make_csl_ffjord_sweep(
-                params, e, self.input_dim, kinetic_reg, self.rtol, self.atol
-            )
+            # Batches the step-fused kernels cannot tile (no 8-divisible
+            # block and too large for one VMEM block — e.g. an eval
+            # loop's partial final batch) run unfused instead of erroring.
+            if fused_tiling_ok(batch):
+                stage_sweep, stage_sweep_bwd = make_csl_ffjord_sweep(
+                    params, e, self.input_dim, kinetic_reg,
+                    self.rtol, self.atol
+                )
         sol = odeint(
             self._aug_dynamics(kinetic_reg, e),
             u0,

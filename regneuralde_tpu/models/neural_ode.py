@@ -293,7 +293,12 @@ class NeuralODE:
 
         stage_sweep = None
         stage_sweep_bwd = None
-        if self.fused:
+        from regneuralde_tpu.ops.pallas_mlp import fused_tiling_ok
+
+        # Batches the step-fused kernels cannot tile (no 8-divisible
+        # block and too large for one VMEM block — e.g. an eval loop's
+        # partial final batch) run unfused instead of erroring.
+        if self.fused and fused_tiling_ok(x.shape[0]):
             # Normed variant: the error/stiffness reductions happen inside
             # the kernel (NormedSweep scalars; the solver psums them under
             # axis_name, so fused composes with data parallelism).

@@ -186,6 +186,18 @@ def _psum_cts(like, *arrays):
     return tuple(jax.lax.psum(a, axes) for a in arrays)
 
 
+def fused_tiling_ok(batch: int, target: int = 128) -> bool:
+    """Whether ``_pick_block`` can legally tile ``batch``.
+
+    An 8-divisible divisor of ``batch`` exists iff ``batch % 8 == 0``
+    (8 itself is then a divisor); otherwise the only legal layout is one
+    whole-batch block, acceptable up to ``max(2 * target, 256)`` rows.
+    Model layers gate fused routing on this and fall back to the unfused
+    engines (e.g. an eval loop's partial final batch) instead of erroring
+    deep in the kernel."""
+    return batch % 8 == 0 or batch <= max(2 * target, 256)
+
+
 def _pick_block(batch: int, target: int = 128) -> int:
     """Largest 8-divisible divisor of ``batch`` not exceeding ``target``.
 

@@ -433,3 +433,52 @@ class TestFastAdjoint:
         g_scan = jax.grad(lambda x: loss(x, "scan"))(x)
         np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_scan),
                                    rtol=2e-3, atol=1e-5)
+
+
+class TestUntileableBatchFallback:
+    """Batches with no legal fused tiling (not 8-divisible AND too large
+    for one whole-batch VMEM block — e.g. an eval loop's partial final
+    batch, like ffjord_tabular's 615-row test remainder) must route to
+    the unfused engines at the model layer instead of erroring inside
+    _pick_block (regression: round-4 demo re-run crashed on batch=615)."""
+
+    def test_fused_tiling_ok(self):
+        from regneuralde_tpu.ops.pallas_mlp import fused_tiling_ok
+
+        assert fused_tiling_ok(512)      # 8-divisible: tiles
+        assert fused_tiling_ok(104)      # 8-divisible: tiles
+        assert fused_tiling_ok(100)      # misaligned but one-block small
+        assert fused_tiling_ok(256)      # boundary: whole-batch block
+        assert not fused_tiling_ok(300)  # misaligned, > one block
+        assert not fused_tiling_ok(615)  # the demo's crash shape
+
+    def test_neural_ode_untileable_batch_runs_unfused(self):
+        m = MLPDynamics(dim=6, hidden=8)
+        node_f = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=64,
+                           fused=True)
+        node_p = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=64)
+        x = jax.random.normal(KEY, (300, 6)) * 0.5
+        params = node_f.init(KEY, x)
+        # mode="scan" skips the whole-solve route, exercising the
+        # step-fused construction gate directly.
+        out_f = node_f(params, x, mode="scan")
+        out_p = node_p(params, x, mode="scan")
+        assert int(out_f.nfe) == int(out_p.nfe)
+        np.testing.assert_allclose(np.asarray(out_f.value),
+                                   np.asarray(out_p.value),
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_ffjord_untileable_batch_runs_unfused(self):
+        from regneuralde_tpu.models import CSLDynamics, FFJORD
+
+        m = CSLDynamics(dim=4, hidden=8)
+        ff_f = FFJORD(m, input_dim=4, rtol=1e-4, atol=1e-4, max_steps=64,
+                      fused="step")
+        ff_p = FFJORD(m, input_dim=4, rtol=1e-4, atol=1e-4, max_steps=64)
+        x = jax.random.normal(KEY, (300, 4)) * 0.5
+        params = ff_f.init(KEY, x)
+        o_f = ff_f(params, x, jax.random.PRNGKey(3), mode="scan")
+        o_p = ff_p(params, x, jax.random.PRNGKey(3), mode="scan")
+        np.testing.assert_allclose(np.asarray(o_f.logpx),
+                                   np.asarray(o_p.logpx),
+                                   rtol=1e-5, atol=1e-6)
