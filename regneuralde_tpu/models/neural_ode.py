@@ -131,12 +131,15 @@ class NeuralODE:
         self.fused = fused
 
     def _whole_solve_parts(self, params):
-        """(apply_fn, flatten, algebra_bwd) triple for the whole-solve
-        kernels. ``algebra_bwd`` is the hand-derived reverse chain of the
-        normed stage algebra where one exists (MLPDynamics) — the traced
-        ``jax.vjp`` transpose is ~3x slower in-kernel at the flagship
-        shape (see ops.pallas_mlp._normed_bwd_math) — and None otherwise
-        (the generic path falls back to tracing)."""
+        """(apply_fn, flatten, algebra_bwd, algebra_fwd_res) for the
+        whole-solve kernels. ``algebra_bwd`` is the hand-derived reverse
+        chain of the normed stage algebra where one exists (MLPDynamics) —
+        the traced ``jax.vjp`` transpose is ~3x slower in-kernel at the
+        flagship shape (see ops.pallas_mlp._normed_bwd_math) — and None
+        otherwise (the generic path falls back to tracing);
+        ``algebra_fwd_res`` is its residual-capturing forward (saves the
+        stage k's + hidden activations so the pullback skips its own
+        stage recompute)."""
         from regneuralde_tpu.models.basic import MLPDynamics as _MLPD
 
         if isinstance(self.dynamics, _MLPD):
@@ -144,13 +147,15 @@ class NeuralODE:
                 _mlp_k,
                 _split_params,
                 make_normed_algebra_bwd,
+                make_normed_algebra_fwd_res,
             )
 
             def apply_fn(t, y, leaves):
                 return _mlp_k(y, t, *leaves)
 
             return (apply_fn, lambda p: list(_split_params(p)),
-                    make_normed_algebra_bwd(self.rtol, self.atol))
+                    make_normed_algebra_bwd(self.rtol, self.atol),
+                    make_normed_algebra_fwd_res(self.rtol, self.atol))
         from regneuralde_tpu.ops.pallas_generic import (
             alternating_mlp_apply,
             alternating_mlp_leaves,
@@ -158,7 +163,7 @@ class NeuralODE:
 
         depth = self.dynamics.depth
         return (alternating_mlp_apply(depth),
-                lambda p: alternating_mlp_leaves(p, depth), None)
+                lambda p: alternating_mlp_leaves(p, depth), None, None)
 
     def init(self, key: jax.Array, x: jnp.ndarray) -> Any:
         if not isinstance(self.dynamics, nn.Module):
@@ -243,12 +248,13 @@ class NeuralODE:
                     <= 64 * 2**20)
             )
             if eligible:
-                apply_fn, flatten, alg_bwd = self._whole_solve_parts(params)
+                (apply_fn, flatten, alg_bwd,
+                 alg_fwd_res) = self._whole_solve_parts(params)
                 sol = whole_solve_odeint(
                     self._func, apply_fn, flatten, x, t0, t1, params,
                     rtol=self.rtol, atol=self.atol,
                     max_steps=self.max_steps, saveat=saveat,
-                    algebra_bwd=alg_bwd,
+                    algebra_bwd=alg_bwd, algebra_fwd_res=alg_fwd_res,
                 )
                 value = (jnp.swapaxes(sol.ys, 0, 1)
                          if saveat is not None else sol.y1)
@@ -265,7 +271,8 @@ class NeuralODE:
                 # Batch too large for the monolithic kernel: the tiled
                 # whole-solve keeps the carry in VMEM scratch and sweeps
                 # stages per batch tile (final-state solves only).
-                apply_fn, flatten, _alg_bwd = self._whole_solve_parts(params)
+                apply_fn, flatten, _alg_bwd, _afr = self._whole_solve_parts(
+                    params)
                 leaves = flatten(params)
                 leaves_bytes = sum(
                     l.size * l.dtype.itemsize for l in leaves)

@@ -544,7 +544,7 @@ def mlp_dynamics_stage_sweep(t, dt, y, k1, params):
 # ---------------------------------------------------------------------------
 
 
-def _normed_bwd_math(t, dt, y, k1, parts, cts, rtol, atol):
+def _normed_bwd_math(t, dt, y, k1, parts, cts, rtol, atol, res=None):
     """Hand-derived backward of the NORMED Tsit5 stage algebra over
     MLPDynamics, as a pure function of loaded values.
 
@@ -558,7 +558,13 @@ def _normed_bwd_math(t, dt, y, k1, parts, cts, rtol, atol):
     kernel (ops.pallas_solve), replacing the traced ``jax.vjp`` of the
     algebra whose ~20 live batch-size residuals are VMEM-scheduling-bound
     (measured round 4: 152 us/step traced vs the step-level hand chain's
-    ~50 us/step at the flagship shape)."""
+    ~50 us/step at the flagship shape).
+
+    ``res``, when given, is ``(ks, hs)`` saved from the matching forward
+    (``normed_algebra_fwd_res``) and skips the stage recompute entirely —
+    the whole-solve backward kernel traces the trial-step forward for its
+    primal outputs anyway, so recomputing here would run the 12
+    contractions + 12 accurate-tanh evaluations a THIRD time per step."""
     tab = TSIT5
     w1x, w1t, b1, w2h, w2t, b2 = parts
     cyn, ck7, ct_errssq, ct_numssq, ct_denssq = cts
@@ -570,19 +576,22 @@ def _normed_bwd_math(t, dt, y, k1, parts, cts, rtol, atol):
                 acc = acc + c * k
         return acc
 
-    # ---- forward recompute, stage values live in VMEM ----
-    ks = [k1]
-    hs = []
-    for i in range(1, 7):
-        yi = y + dt * stage_acc(i, ks)
-        ti = t + tab.c[i] * dt
-        pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
-                       precision=_DOT_PRECISION) + ti * w1t + b1
-        h = _tanh(pre1)
-        pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32,
-                       precision=_DOT_PRECISION) + ti * w2t + b2
-        ks.append(_tanh(pre2))
-        hs.append(h)
+    if res is None:
+        # ---- forward recompute, stage values live in VMEM ----
+        ks = [k1]
+        hs = []
+        for i in range(1, 7):
+            yi = y + dt * stage_acc(i, ks)
+            ti = t + tab.c[i] * dt
+            pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
+                           precision=_DOT_PRECISION) + ti * w1t + b1
+            h = _tanh(pre1)
+            pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32,
+                           precision=_DOT_PRECISION) + ti * w2t + b2
+            ks.append(_tanh(pre2))
+            hs.append(h)
+    else:
+        ks, hs = (list(res[0]), list(res[1]))
     y_new = y + dt * stage_acc(6, ks)
 
     # ---- seed cotangents from the scalar norm cotangents ----
@@ -691,16 +700,71 @@ def _normed_bwd_math(t, dt, y, k1, parts, cts, rtol, atol):
 
 def make_normed_algebra_bwd(rtol: float, atol: float):
     """The whole-solve kernels' ``algebra_bwd`` hook for MLPDynamics:
-    ``(t, dt, y, k1, leaves, cts) -> (ct_t, ct_dt, ct_y, ct_k1,
-    ct_leaves)`` with ``leaves`` in ``_split_params`` order and ``cts``
-    the NORMED quintuple cotangent."""
+    ``(t, dt, y, k1, leaves, cts[, res]) -> (ct_t, ct_dt, ct_y, ct_k1,
+    ct_leaves)`` with ``leaves`` in ``_split_params`` order, ``cts``
+    the NORMED quintuple cotangent, and ``res`` the optional ``(ks, hs)``
+    stage residuals saved by ``make_normed_algebra_fwd_res`` (skips the
+    in-pullback stage recompute)."""
 
-    def algebra_bwd(t, dt, y, k1, leaves, cts):
+    def algebra_bwd(t, dt, y, k1, leaves, cts, res=None):
         ct_t, ct_dt, ct_y, ct_k1, ct_parts = _normed_bwd_math(
-            t, dt, y, k1, tuple(leaves), tuple(cts), rtol, atol)
+            t, dt, y, k1, tuple(leaves), tuple(cts), rtol, atol, res=res)
         return ct_t, ct_dt, ct_y, ct_k1, list(ct_parts)
 
     return algebra_bwd
+
+
+def make_normed_algebra_fwd_res(rtol: float, atol: float):
+    """Residual-capturing forward of the normed stage algebra for
+    MLPDynamics: ``(t, dt, y, k1, leaves) -> (outs, (ks, hs))`` with
+    ``outs`` the same quintuple as ``pallas_generic._stage_algebra`` —
+    op-for-op identical math (``_mlp_k`` inlined so the hidden
+    activations ``hs`` can be captured), so the primal values the
+    whole-solve BACKWARD kernel replays (accept flags, controller
+    scalars, Hermite inputs) stay bitwise-equal to the forward kernel's
+    history. The captured ``(ks, hs)`` feed ``make_normed_algebra_bwd``'s
+    ``res`` hook, removing one full stage-sweep recompute per reverse
+    step (measured round 4: the whole-solve backward otherwise runs the
+    forward algebra twice per step — once in the traced trial-step vjp,
+    once inside the hand pullback)."""
+    tab = TSIT5
+
+    def algebra_fwd_res(t, dt, y, k1, leaves):
+        w1x, w1t, b1, w2h, w2t, b2 = leaves
+        ks = [k1]
+        hs = []
+        y_stage = y
+        g6 = y
+        for i in range(1, 7):
+            acc = tab.a[i - 1][0] * ks[0]
+            for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+                if c != 0.0:
+                    acc = acc + c * k
+            y_stage = y + dt * acc
+            ti = t + tab.c[i] * dt
+            pre1 = jnp.dot(y_stage, w1x, preferred_element_type=jnp.float32,
+                           precision=_DOT_PRECISION) + ti * w1t + b1
+            h = _tanh(pre1)
+            pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32,
+                           precision=_DOT_PRECISION) + ti * w2t + b2
+            ks.append(_tanh(pre2))
+            hs.append(h)
+            if i == 5:
+                g6 = y_stage
+        y_new = y_stage  # FSAL: b row == last a row
+        err = tab.btilde[1] * (ks[1] - ks[0])
+        for c, k in zip(tab.btilde[2:], ks[2:]):
+            err = err + c * (k - ks[0])
+        err = dt * err
+        denom = atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol
+        scaled = err / denom
+        dk = ks[-1] - ks[-2]
+        dg = y_new - g6
+        outs = (y_new, ks[-1], jnp.sum(scaled * scaled),
+                jnp.sum(dk * dk), jnp.sum(dg * dg))
+        return outs, (tuple(ks), tuple(hs))
+
+    return algebra_fwd_res
 
 
 def _make_normed_kernels(rtol: float, atol: float):

@@ -130,6 +130,7 @@ def make_whole_solve(
     n_save: int = 0,
     interpret: Optional[bool] = None,
     algebra_bwd: Optional[Callable] = None,
+    algebra_fwd_res: Optional[Callable] = None,
 ):
     """Build ``solve(t0, t1, dt0, y0, f0, ys0, saveat, leaves)`` with a
     one-kernel forward and a one-kernel custom-vjp backward.
@@ -169,14 +170,31 @@ def make_whole_solve(
         def _alg_cv(t, dt, y, k1, leaves):
             return algebra(t, dt, y, k1, leaves)
 
-        def _alg_cv_fwd(t, dt, y, k1, leaves):
-            return algebra(t, dt, y, k1, leaves), (t, dt, y, k1, leaves)
+        if algebra_fwd_res is not None:
+            # Residual-capturing forward: op-for-op identical primal
+            # values to ``algebra`` (bitwise — the backward kernel's
+            # replayed accept flags must match the forward kernel's
+            # history), but the stage k's and hidden activations are
+            # saved so the hand pullback skips its own stage recompute —
+            # one full algebra sweep per reverse step instead of two.
+            def _alg_cv_fwd(t, dt, y, k1, leaves):
+                outs, stage_res = algebra_fwd_res(t, dt, y, k1, leaves)
+                return outs, (t, dt, y, k1, leaves, stage_res)
 
-        def _alg_cv_bwd(res, cts):
-            t, dt, y, k1, leaves = res
-            ct_t, ct_dt, ct_y, ct_k1, ct_leaves = algebra_bwd(
-                t, dt, y, k1, leaves, cts)
-            return ct_t, ct_dt, ct_y, ct_k1, list(ct_leaves)
+            def _alg_cv_bwd(res, cts):
+                t, dt, y, k1, leaves, stage_res = res
+                ct_t, ct_dt, ct_y, ct_k1, ct_leaves = algebra_bwd(
+                    t, dt, y, k1, leaves, cts, res=stage_res)
+                return ct_t, ct_dt, ct_y, ct_k1, list(ct_leaves)
+        else:
+            def _alg_cv_fwd(t, dt, y, k1, leaves):
+                return algebra(t, dt, y, k1, leaves), (t, dt, y, k1, leaves)
+
+            def _alg_cv_bwd(res, cts):
+                t, dt, y, k1, leaves = res
+                ct_t, ct_dt, ct_y, ct_k1, ct_leaves = algebra_bwd(
+                    t, dt, y, k1, leaves, cts)
+                return ct_t, ct_dt, ct_y, ct_k1, list(ct_leaves)
 
         _alg_cv.defvjp(_alg_cv_fwd, _alg_cv_bwd)
         alg_for_bwd = _alg_cv
@@ -771,6 +789,7 @@ def whole_solve_odeint(
     dt0: Optional[float] = None,
     matmul_precision: Optional[str] = "highest",
     algebra_bwd: Optional[Callable] = None,
+    algebra_fwd_res: Optional[Callable] = None,
 ) -> ODESolution:
     """Run a whole-solve fused integration with odeint's exact prologue
     (Hairer initial-dt heuristic, NFE accounting, saveat seeding) and
@@ -788,7 +807,7 @@ def whole_solve_odeint(
                 func, apply_fn, flatten, y0, t0, t1, args,
                 rtol=rtol, atol=atol, max_steps=max_steps, saveat=saveat,
                 controller=controller, dt0=dt0, matmul_precision=None,
-                algebra_bwd=algebra_bwd,
+                algebra_bwd=algebra_bwd, algebra_fwd_res=algebra_fwd_res,
             )
     if y0.shape[0] % 8 and jax.default_backend() != "cpu":
         # Sublane alignment: Mosaic faults the TPU WORKER (not a Python
@@ -828,6 +847,7 @@ def whole_solve_odeint(
     solve = make_whole_solve(
         apply_fn, rtol, atol, controller=controller, max_steps=max_steps,
         n_save=n_save, algebra_bwd=algebra_bwd,
+        algebra_fwd_res=algebra_fwd_res,
     )
     leaves = flatten(args)
     (y1, ys, tel, _tf, _dtf, _qoldf, na, nr, done) = solve(

@@ -363,3 +363,63 @@ class TestBatchAlignmentGuards:
             whole_solve_odeint_tiled(f, apply_fn, flatten, y, 0.0, 1.0, p,
                                      rtol=1e-3, atol=1e-3, max_steps=16,
                                      tile_rows=64)
+
+
+class TestHandAlgebraBackward:
+    """The MLPDynamics whole-solve path runs the HAND-derived algebra
+    pullback (ops.pallas_mlp.make_normed_algebra_bwd) seeded from stage
+    residuals captured by the matching forward
+    (make_normed_algebra_fwd_res) — neither is exercised by the
+    AlternatingMLP fixtures above (their algebra_bwd is None, the traced
+    transpose). Pins (a) the hand path against the scan oracle through
+    the model routing, and (b) the residual-capture variant bitwise
+    against the in-pullback recompute it replaces."""
+
+    def _mlp_setup(self):
+        from regneuralde_tpu.models import MLPDynamics
+
+        m = MLPDynamics(dim=8, hidden=6)
+        x = jax.random.normal(KEY, (8, 8)) * 0.5
+        node_w = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48,
+                           fused="solve")
+        node_u = NeuralODE(m, rtol=1e-4, atol=1e-4, max_steps=48)
+        p = node_w.init(jax.random.PRNGKey(1), x)
+        return node_w, node_u, x, p
+
+    def test_mlp_whole_solve_grads_match_scan(self):
+        node_w, node_u, x, p = self._mlp_setup()
+
+        def loss(p, node, mode):
+            out = node(p, x, mode=mode)
+            r = jnp.sum(jnp.where(out.telemetry.accepted,
+                                  out.telemetry.eest * out.telemetry.dt,
+                                  0.0))
+            return jnp.sum(out.value ** 2) + 0.3 * r
+
+        g_ws = jax.grad(lambda p: loss(p, node_w, "adjoint"))(p)
+        g_ref = jax.grad(lambda p: loss(p, node_u, "scan"))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ws),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+
+    def test_residual_capture_bitwise_vs_recompute(self):
+        # algebra_fwd_res must be op-for-op the recompute it replaces:
+        # gradients with and without it are the SAME floats.
+        node_w, _, x, p = self._mlp_setup()
+        apply_fn, flatten, alg_bwd, alg_fwd_res = node_w._whole_solve_parts(p)
+
+        def loss(p, afr):
+            sol = whole_solve_odeint(
+                node_w._func, apply_fn, flatten, x, 0.0, 1.0, p,
+                rtol=1e-4, atol=1e-4, max_steps=48,
+                algebra_bwd=alg_bwd, algebra_fwd_res=afr)
+            tel = sol.telemetry
+            r = jnp.sum(jnp.where(tel.accepted, tel.eest * tel.dt, 0.0))
+            return jnp.sum(sol.y1 ** 2) + 0.3 * r
+
+        g_res = jax.grad(lambda p: loss(p, alg_fwd_res))(p)
+        g_rec = jax.grad(lambda p: loss(p, None))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g_res),
+                        jax.tree_util.tree_leaves(g_rec)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -72,7 +72,7 @@ def main():
         # Route around the model layer to pass matmul_precision.
         from regneuralde_tpu.ops.pallas_solve import whole_solve_odeint
 
-        apply_fn, flatten = node._whole_solve_parts(p)
+        apply_fn, flatten, _bwd, _res = node._whole_solve_parts(p)
         fwd_raw = lambda p, x: whole_solve_odeint(
             node._func, apply_fn, flatten, x, 0.0, 1.0, p,
             rtol=RT, atol=RT, max_steps=96,
