@@ -232,19 +232,19 @@ class NeuralODE:
             )
 
             n_save = 0 if saveat is None else int(saveat.shape[0])
-            # Mosaic sublane alignment: a batch that is not a multiple
-            # of 8 FAULTS the TPU worker inside the whole-solve kernels
-            # (measured round 4 on the SDE twin at (100, 2)); such
-            # batches fall through to the step-level fused engines.
-            aligned = (x.shape[0] % 8 == 0
-                       or jax.default_backend() == "cpu")
+            # Mosaic sublane alignment: batches that are not a multiple
+            # of 8 are PADDED with masked rows inside whole_solve_odeint
+            # (round 5; unpadded they fault the TPU worker — measured
+            # round 4 on the SDE twin at (100, 2)). The VMEM estimate
+            # uses the padded batch.
+            batch_pad = x.shape[0] + (-x.shape[0]) % 8
             # Whole-solve kernels run with a raised scoped-VMEM limit
             # (100MB; see ops.pallas_solve) — the flagship shape's 36.7MB
             # working set fits the monolithic kernel directly.
-            eligible = aligned and (
+            eligible = (
                 self.fused == "solve"
                 or (self.fused is True
-                    and vmem_estimate(x.shape[0], x.shape[-1], n_save)
+                    and vmem_estimate(batch_pad, x.shape[-1], n_save)
                     <= 64 * 2**20)
             )
             if eligible:

@@ -146,19 +146,18 @@ class NeuralSDE:
             leaves = jax.tree_util.tree_leaves(params)
             supported = (
                 x.ndim == 2 and x.dtype == jnp.float32
-                # Mosaic sublane alignment: misaligned batches FAULT the
-                # TPU worker (measured round 4 at (100, 2)); route them
-                # to the unfused engines instead.
-                and (x.shape[0] % 8 == 0
-                     or jax.default_backend() == "cpu")
+                # Mosaic sublane alignment: misaligned batches are padded
+                # with masked rows inside whole_solve_sdeint (round 5) —
+                # the reference's own sde_toy uses 100 trajectories.
                 and all(l.ndim <= 2 and l.dtype == jnp.float32
                         for l in leaves)
             )
             n_save = 0 if saveat is None else int(saveat.shape[0])
             leaves_bytes = sum(l.size * l.dtype.itemsize for l in leaves)
+            batch_pad = x.shape[0] + (-x.shape[0]) % 8
             eligible = supported and (
                 self.fused == "solve"
-                or vmem_estimate_sde(x.shape[0], x.shape[-1], n_save,
+                or vmem_estimate_sde(batch_pad, x.shape[-1], n_save,
                                      leaves_bytes) <= 12 * 2**20
             )
             if self.fused == "solve" and not supported:

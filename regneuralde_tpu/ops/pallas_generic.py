@@ -83,11 +83,17 @@ def _alg_num_stages() -> int:
     return 6
 
 
-def _stage_algebra(apply_fn, rtol, atol):
+def _stage_algebra(apply_fn, rtol, atol, n_real=None):
     """The full trial-step math as a plain function of loaded values:
     (t, dt, y, k1, leaves) -> (y_new, k7, err_ssq, num_ssq, den_ssq).
     Used verbatim inside both kernels, as the XLA fallback, and as the
-    test oracle."""
+    test oracle.
+
+    ``n_real`` (static): when the batch was padded to Mosaic's 8-row
+    sublane alignment, only the first ``n_real`` rows are real samples —
+    the three norm sums mask out the pad rows so EEst / eigen_est (and
+    hence every controller decision) match the unpadded solve. Pad rows
+    still produce y_new/k7 (discarded by the caller's slice)."""
     tab = TSIT5
     ablate = _ALG_ABLATE
     n_stages = _alg_num_stages()
@@ -124,6 +130,12 @@ def _stage_algebra(apply_fn, rtol, atol):
         scaled = err / denom
         dk = ks[-1] - ks[-2]
         dg = y_new - g6
+        if n_real is not None and n_real < y.shape[0]:
+            rmask = (jax.lax.broadcasted_iota(jnp.int32, scaled.shape, 0)
+                     < n_real)
+            scaled = jnp.where(rmask, scaled, 0.0)
+            dk = jnp.where(rmask, dk, 0.0)
+            dg = jnp.where(rmask, dg, 0.0)
         return (y_new, ks[-1], jnp.sum(scaled * scaled),
                 jnp.sum(dk * dk), jnp.sum(dg * dg))
 

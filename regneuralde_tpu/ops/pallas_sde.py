@@ -112,6 +112,7 @@ def make_sde_whole_solve(
     max_steps: int,
     n_save: int = 0,
     interpret: Optional[bool] = None,
+    n_real: Optional[int] = None,
 ):
     """Build ``solve(t0, t1, dt0, y0, ys0, saveat, xi_w, xi_z, leaves)``
     with a one-kernel forward and a one-kernel custom-vjp backward.
@@ -121,11 +122,33 @@ def make_sde_whole_solve(
     presampled draws (``presample_noise``), padded to ``(max_steps,
     batch, pad128(dim))``. Returns ``(y1, ys, tel, t_f, dt_f, qold_f,
     naccept, nreject, done)``.
+
+    ``n_real`` (static): number of real batch rows when the caller padded
+    to the 8-row sublane alignment — EEst and eigen_est mask out the pad
+    rows so step control matches the unpadded solve bit-for-bit up to
+    reduction order.
     """
     tab = get_tableau(solver)
     ctrl = controller or PIController(beta1=0.5, beta2=0.0)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+
+    def _row_mask(a):
+        """Zero the pad rows of a (batch, dim) block (no-op when the
+        batch is unpadded)."""
+        if n_real is None or n_real >= a.shape[0]:
+            return a
+        m = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0) < n_real
+        return jnp.where(m, a, 0.0)
+
+    def _masked_rms(a):
+        """hairer_norm over the real rows only (same zero-point guard)."""
+        a = _row_mask(a)
+        cnt = float((n_real if n_real is not None
+                     and n_real < a.shape[0] else a.shape[0]) * a.shape[1])
+        ssq = jnp.sum(a * a)
+        safe = jnp.where(ssq > 0, ssq, 1.0)
+        return jnp.where(ssq > 0, jnp.sqrt(safe / cnt), 0.0)
 
     def trial_step(t, dt, qold, y, tail_h, tail_w, tail_z, xi_w, xi_z,
                    t1, span, leaves):
@@ -160,12 +183,17 @@ def make_sde_whole_solve(
         diffusion = lambda tt, yy, _: diffusion_fn(tt, yy, leaves)
         y_new, err, stage_info = sri_step(
             tab, drift, diffusion, None, t, y, dt_eff, dw, dz)
-        eest = error_ratio(err, y, y_new, rtol, atol)
+        if n_real is None:
+            eest = error_ratio(err, y, y_new, rtol, atol)
+        else:
+            eest = _masked_rms(
+                err / (atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+                       * rtol))
         accept = eest <= 1.0
 
         f_a, f_b, h_a, h_b = stage_info
-        num = hairer_norm(f_b - f_a)
-        den = hairer_norm(h_b - h_a)
+        num = _masked_rms(f_b - f_a)
+        den = _masked_rms(h_b - h_a)
         eigen_est = jnp.where(den > 0, num / jnp.maximum(den, 1e-30), 0.0)
 
         # Controller on (1,1) vectors: Mosaic has no scalar powf.
@@ -743,13 +771,6 @@ def whole_solve_sdeint(
                 max_steps=max_steps, saveat=saveat, controller=controller,
                 matmul_precision=None,
             )
-    if y0.shape[0] % 8 and jax.default_backend() != "cpu":
-        # Sublane alignment (see ops.pallas_solve.whole_solve_odeint):
-        # a (100, 2) solve faulted the TPU worker — guard, don't fault.
-        raise ValueError(
-            f"whole-solve kernels need batch % 8 == 0 on TPU, got "
-            f"{y0.shape[0]}; use the unfused engines (fused=False) or "
-            f"pad the batch")
     t0 = jnp.asarray(t0, f32)
     t1 = jnp.asarray(t1, f32)
     span = t1 - t0
@@ -768,9 +789,29 @@ def whole_solve_sdeint(
     dt_init = jnp.asarray(dt0 if dt0 is not None else 0.01, f32)
     dt_init = jnp.minimum(dt_init, span) if dt0 is None else dt_init
 
+    # Noise is presampled at the REAL batch shape first so each real
+    # lane's draws match the unfused ``sdeint`` bit-for-bit (the tested
+    # draw-for-draw parity contract), THEN the batch is padded to the
+    # 8-row sublane alignment Mosaic requires (see
+    # ops.pallas_solve.whole_solve_odeint — a (100, 2) solve, the
+    # reference's literal sde_toy workload, faulted the TPU worker).
+    # Pad rows carry zero noise and are masked out of the norms
+    # (``n_real``), so step control and gradients match the unpadded
+    # solve. Applied on every backend so CPU CI exercises the same path.
+    batch_real = y0.shape[0]
+    xi_w, xi_z = presample_noise(key, y0.shape, y0.dtype, max_steps)
+    n_real = None
+    if batch_real % 8:
+        n_real = batch_real
+        nprows = 8 - batch_real % 8
+        y0 = jnp.concatenate(
+            [y0, jnp.broadcast_to(y0[-1:], (nprows,) + y0.shape[1:])], 0)
+        zrows = jnp.zeros((max_steps, nprows, y0.shape[1]), y0.dtype)
+        xi_w = jnp.concatenate([xi_w, zrows], 1)
+        xi_z = jnp.concatenate([xi_z, zrows], 1)
+
     batch, dim = y0.shape
     dpad = _pad128(dim)
-    xi_w, xi_z = presample_noise(key, y0.shape, y0.dtype, max_steps)
     pad = dpad - dim
     if pad:
         zp = jnp.zeros((max_steps, batch, pad), y0.dtype)
@@ -791,10 +832,14 @@ def whole_solve_sdeint(
 
     solve = make_sde_whole_solve(
         drift_fn, diffusion_fn, solver, rtol, atol, controller=controller,
-        max_steps=max_steps, n_save=n_save,
+        max_steps=max_steps, n_save=n_save, n_real=n_real,
     )
     (y1, ys, tel, _tf, _dtf, _qoldf, na, nr, done) = solve(
         t0, t1, dt_init, y0, ys0, sa, xi_w, xi_z, list(leaves))
+    if n_real is not None:
+        y1 = y1[:batch_real]
+        if n_save:
+            ys = ys[:, :batch_real]
     tab = get_tableau(solver)
     nsteps = na + nr
     stats = SDEStats(

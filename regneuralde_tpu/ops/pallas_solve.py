@@ -131,6 +131,7 @@ def make_whole_solve(
     interpret: Optional[bool] = None,
     algebra_bwd: Optional[Callable] = None,
     algebra_fwd_res: Optional[Callable] = None,
+    n_real: Optional[int] = None,
 ):
     """Build ``solve(t0, t1, dt0, y0, f0, ys0, saveat, leaves)`` with a
     one-kernel forward and a one-kernel custom-vjp backward.
@@ -156,9 +157,19 @@ def make_whole_solve(
     telemetry / Hermite pullbacks are unchanged. Timing-only algebra
     ablations (REGNDE_ALG_ABLATE) force the traced path — the hand chain
     encodes the unablated math.
+
+    ``n_real``: static count of real batch rows when the caller padded the
+    batch to Mosaic's 8-row sublane alignment — the norm sums and the
+    element count mask out pad rows so controller decisions match the
+    unpadded solve (see ``_stage_algebra``).
     """
     ctrl = controller or PIController.for_order(TSIT5.order)
-    algebra = _stage_algebra(apply_fn, rtol, atol)
+    if n_real is not None and algebra_bwd is not None:
+        # The hand-written algebra pullbacks don't take the pad mask;
+        # padded solves transpose by tracing (correct either way, and
+        # padded batches are not the flagship perf path).
+        raise ValueError("n_real (padded batch) requires algebra_bwd=None")
+    algebra = _stage_algebra(apply_fn, rtol, atol, n_real)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -297,7 +308,8 @@ def make_whole_solve(
             leaves = [r[:] for r in leaf_refs]
             y0 = y0r[:]
             dim = y0.shape[-1]
-            count = jnp.asarray(float(y0.shape[0] * y0.shape[1]), f32)
+            count = jnp.asarray(
+                float((n_real or y0.shape[0]) * y0.shape[1]), f32)
             # ysr is input/output-aliased with ys0r: rows already hold
             # the initial seeds; nothing to copy. Saveat is consumed via a
             # monotone CURSOR (save times are sorted and accepted windows
@@ -443,7 +455,7 @@ def make_whole_solve(
             tdir = jnp.sign(t1 - t0)
             span = jnp.abs(t1 - t0)
             leaves = [r[:] for r in leaf_refs]
-            count = jnp.asarray(float(batch * dim), f32)
+            count = jnp.asarray(float((n_real or batch) * dim), f32)
             cur0v = cur0r[0, 0] if n_save else jnp.asarray(0, i32)
             rcur0 = curfr[0, 0] if n_save else jnp.asarray(0, i32)
 
@@ -809,15 +821,6 @@ def whole_solve_odeint(
                 controller=controller, dt0=dt0, matmul_precision=None,
                 algebra_bwd=algebra_bwd, algebra_fwd_res=algebra_fwd_res,
             )
-    if y0.shape[0] % 8 and jax.default_backend() != "cpu":
-        # Sublane alignment: Mosaic faults the TPU WORKER (not a Python
-        # error) on (batch, pad128(dim)) VMEM refs whose batch is not a
-        # multiple of 8 — measured round 4 on a (100, 2) SDE solve.
-        # Callers route misaligned batches to the unfused engines.
-        raise ValueError(
-            f"whole-solve kernels need batch % 8 == 0 on TPU, got "
-            f"{y0.shape[0]}; use the unfused engines (fused=False) or "
-            f"pad the batch")
     t0 = jnp.asarray(t0, f32)
     t1 = jnp.asarray(t1, f32)
     tdir = jnp.sign(t1 - t0)
@@ -830,6 +833,26 @@ def whole_solve_odeint(
         nfe_init = 2
     else:
         dt_init = jnp.asarray(dt0, f32) * tdir
+
+    # Sublane alignment: Mosaic faults the TPU WORKER (not a Python
+    # error) on (batch, pad128(dim)) VMEM refs whose batch is not a
+    # multiple of 8 — measured round 4 on a (100, 2) SDE solve (the
+    # reference's own sde_toy uses 100 trajectories,
+    # experiments/sde_toy_problem.jl:61-76). Pad with copies of the last
+    # row and mask them out of the norm sums (n_real) so controller
+    # decisions — hence NFE and gradients — match the unpadded solve;
+    # the f0 / initial-dt prologue above already ran on the real rows.
+    # Applied on every backend so CPU CI exercises the same masked path.
+    n_real = None
+    batch_real = y0.shape[0]
+    if batch_real % 8:
+        n_real = batch_real
+        npad = 8 - batch_real % 8
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (npad,) + a.shape[1:])], axis=0)
+        y0 = pad(y0)
+        f_init = pad(f_init)
+        algebra_bwd = algebra_fwd_res = None
 
     n_save = 0
     ys0 = ()
@@ -847,11 +870,15 @@ def whole_solve_odeint(
     solve = make_whole_solve(
         apply_fn, rtol, atol, controller=controller, max_steps=max_steps,
         n_save=n_save, algebra_bwd=algebra_bwd,
-        algebra_fwd_res=algebra_fwd_res,
+        algebra_fwd_res=algebra_fwd_res, n_real=n_real,
     )
     leaves = flatten(args)
     (y1, ys, tel, _tf, _dtf, _qoldf, na, nr, done) = solve(
         t0, t1, dt_init.astype(f32), y0, f_init, ys0, sa, list(leaves))
+    if n_real is not None:
+        y1 = y1[:batch_real]
+        if n_save:
+            ys = ys[:, :batch_real]
     nsteps = na + nr
     stats = ODEStats(
         nfe=jnp.asarray(nfe_init, i32) + (TSIT5.num_stages - 1) * nsteps,

@@ -334,28 +334,89 @@ class TestBatchAlignmentGuards:
     """Mosaic faults the TPU WORKER (not a Python error) on whole-solve
     VMEM refs whose batch is not a multiple of 8 — measured round 4 on a
     (100, 2) SDE solve (dim/saveat exonerated by bisect: (96, 2) and
-    (64, 2) run, (100, 2) and (100, 8) fault). The entry points must
-    refuse such batches on TPU; model routing falls back instead."""
+    (64, 2) run, (100, 2) and (100, 8) fault). Round 5: the entry points
+    PAD such batches with masked rows (n_real) instead of refusing, so
+    the reference's literal sde_toy workload (100 trajectories,
+    experiments/sde_toy_problem.jl:61-76) keeps the fused engine. The
+    padding runs on every backend, so these parity checks exercise the
+    exact TPU code path in interpret mode."""
 
-    def test_whole_solve_refuses_misaligned_batch_on_tpu(self, monkeypatch):
+    @pytest.mark.parametrize("saveat", [None, SA], ids=["final", "saveat"])
+    def test_whole_solve_pads_misaligned_batch(self, saveat):
+        # Pad rows must not perturb step control (NFE equal), the
+        # trajectory, or the gradients vs the unfused scan oracle.
         _, y, p, f, apply_fn, flatten = _setup(batch=10)
-        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        with pytest.raises(ValueError, match="batch % 8"):
-            whole_solve_odeint(f, apply_fn, flatten, y, 0.0, 1.0, p,
-                               rtol=1e-3, atol=1e-3, max_steps=16)
+        kw = dict(rtol=1e-4, atol=1e-4, max_steps=48)
+        ws = whole_solve_odeint(f, apply_fn, flatten, y, 0.0, 1.0, p,
+                                saveat=saveat, **kw)
+        ref = odeint(f, y, 0.0, 1.0, p, saveat=saveat, mode="scan", **kw)
+        assert ws.y1.shape == y.shape
+        assert int(ws.stats.nfe) == int(ref.stats.nfe)
+        np.testing.assert_allclose(np.asarray(ws.y1), np.asarray(ref.y1),
+                                   rtol=1e-5, atol=1e-7)
+        if saveat is not None:
+            assert ws.ys.shape == (SA.shape[0],) + y.shape
+            np.testing.assert_allclose(np.asarray(ws.ys),
+                                       np.asarray(ref.ys),
+                                       rtol=1e-5, atol=1e-7)
 
-    def test_sde_whole_solve_refuses_misaligned_batch_on_tpu(
-            self, monkeypatch):
+        def value(s):
+            return s.ys if saveat is not None else s.y1
+
+        def loss_ws(p, x):
+            s = whole_solve_odeint(f, apply_fn, flatten, x, 0.0, 1.0, p,
+                                   saveat=saveat, **kw)
+            return (jnp.sum(value(s) ** 2)
+                    + 10.0 * reg.error_estimate(s.telemetry, agg="mean"))
+
+        def loss_ref(p, x):
+            s = odeint(f, x, 0.0, 1.0, p, saveat=saveat, mode="scan", **kw)
+            return (jnp.sum(value(s) ** 2)
+                    + 10.0 * reg.error_estimate(s.telemetry, agg="mean"))
+
+        g1 = jax.grad(loss_ws, argnums=(0, 1))(p, y)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(p, y)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+
+    def test_sde_whole_solve_pads_misaligned_batch(self):
+        # The reference's literal 100-trajectory shape: fused must match
+        # the unfused sdeint draw-for-draw (same presampled noise per
+        # real lane) with identical accept/reject counts and gradients.
         from regneuralde_tpu.ops.pallas_sde import whole_solve_sdeint
+        from regneuralde_tpu.ops.sde import sdeint
 
-        drift = lambda t, y, a: -y
+        w = jax.random.normal(KEY, (2, 2)) * 0.3
+        drift = lambda t, y, a: jnp.tanh(y @ a)
         diff = lambda t, y, a: 0.1 * jnp.ones_like(y)
-        y = jax.random.normal(KEY, (100, 2))
-        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        with pytest.raises(ValueError, match="batch % 8"):
-            whole_solve_sdeint(drift, diff, y, 0.0, 1.0, (),
-                               key=jax.random.PRNGKey(0), rtol=1e-1,
-                               atol=1e-1, max_steps=16)
+        y = jax.random.normal(jax.random.PRNGKey(7), (100, 2))
+        key = jax.random.PRNGKey(3)
+        kw = dict(key=key, solver="sosri", rtol=1e-1, atol=1e-1,
+                  max_steps=32)
+        ws = whole_solve_sdeint(drift, diff, y, 0.0, 1.0, w, **kw)
+        ref = sdeint(drift, diff, y, 0.0, 1.0, w, mode="scan", **kw)
+        assert ws.y1.shape == y.shape
+        assert int(ws.stats.naccept) == int(ref.stats.naccept)
+        assert int(ws.stats.nreject) == int(ref.stats.nreject)
+        np.testing.assert_allclose(np.asarray(ws.y1), np.asarray(ref.y1),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss_ws(w):
+            s = whole_solve_sdeint(drift, diff, y, 0.0, 1.0, w, **kw)
+            return (jnp.sum(s.y1 ** 2)
+                    + reg.error_estimate(s.telemetry, agg="mean"))
+
+        def loss_ref(w):
+            s = sdeint(drift, diff, y, 0.0, 1.0, w, mode="scan", **kw)
+            return (jnp.sum(s.y1 ** 2)
+                    + reg.error_estimate(s.telemetry, agg="mean"))
+
+        g1 = jax.grad(loss_ws)(w)
+        g2 = jax.grad(loss_ref)(w)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-3, atol=1e-5)
 
     def test_tiled_refuses_indivisible_tile(self):
         _, y, p, f, apply_fn, flatten = _setup(batch=100)
