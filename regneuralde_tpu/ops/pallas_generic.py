@@ -142,6 +142,45 @@ def _stage_algebra(apply_fn, rtol, atol, n_real=None):
     return algebra
 
 
+def _stage_algebra_from_ks(rtol, atol):
+    """Recombine ``_stage_algebra``'s quintuple from STORED stage
+    derivatives: ``(t, dt, y, k1, ks6) -> (y_new, k7, err_ssq, num_ssq,
+    den_ssq)`` with ``ks6`` the six fresh stage k's the matching forward
+    captured (``pallas_mlp.make_normed_algebra_fwd_res``; ``k1`` is the
+    FSAL seed already in the solver history).
+
+    Pure lincombs and elementwise ops — no dynamics evaluations — with
+    the accumulation order copied from ``_stage_algebra`` so every output
+    is BITWISE equal to the forward kernel's, given the same ks: the
+    whole-solve backward kernel replays controller decisions from these
+    values, and one flipped accept would corrupt the adjoint."""
+    tab = TSIT5
+
+    def acc_of(i, ks):
+        acc = tab.a[i - 1][0] * ks[0]
+        for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+            if c != 0.0:
+                acc = acc + c * k
+        return acc
+
+    def recombine(t, dt, y, k1, ks6):
+        ks = [k1, *ks6]
+        y_new = y + dt * acc_of(6, ks)
+        g6 = y + dt * acc_of(5, ks)
+        err = tab.btilde[1] * (ks[1] - ks[0])
+        for c, k in zip(tab.btilde[2:], ks[2:]):
+            err = err + c * (k - ks[0])
+        err = dt * err
+        denom = atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol
+        scaled = err / denom
+        dk = ks[-1] - ks[-2]
+        dg = y_new - g6
+        return (y_new, ks[-1], jnp.sum(scaled * scaled),
+                jnp.sum(dk * dk), jnp.sum(dg * dg))
+
+    return recombine
+
+
 def make_normed_tsit5_sweep(
     apply_fn: Callable,
     batched: Sequence[bool],

@@ -132,6 +132,7 @@ def make_whole_solve(
     algebra_bwd: Optional[Callable] = None,
     algebra_fwd_res: Optional[Callable] = None,
     n_real: Optional[int] = None,
+    cache_residuals: bool = False,
 ):
     """Build ``solve(t0, t1, dt0, y0, f0, ys0, saveat, leaves)`` with a
     one-kernel forward and a one-kernel custom-vjp backward.
@@ -162,8 +163,25 @@ def make_whole_solve(
     batch to Mosaic's 8-row sublane alignment — the norm sums and the
     element count mask out pad rows so controller decisions match the
     unpadded solve (see ``_stage_algebra``).
+
+    ``cache_residuals`` (requires both ``algebra_bwd`` and
+    ``algebra_fwd_res``): the FORWARD kernel runs the residual-capturing
+    algebra and streams each step's stage derivatives ``ks[1:]`` and
+    hidden activations ``hs`` to HBM (delayed one iteration so the copy
+    overlaps the next step's sweep); the BACKWARD kernel then skips the
+    stage-sweep replay entirely — it recombines the controller/Hermite
+    primals from the stored ks with pure lincombs
+    (``pallas_generic._stage_algebra_from_ks``, bitwise-equal by
+    construction) and feeds ``(ks, hs)`` straight into the hand pullback.
+    Round-5 attribution: the replay was 2.37 ms of the flagship's 6.5 ms
+    backward (42 steps); the recombination + residual DMA costs ~0.5 ms.
     """
     ctrl = controller or PIController.for_order(TSIT5.order)
+    if cache_residuals and (algebra_bwd is None or algebra_fwd_res is None
+                            or n_real is not None):
+        raise ValueError(
+            "cache_residuals requires algebra_bwd and algebra_fwd_res "
+            "and an unpadded batch (n_real=None)")
     if n_real is not None and algebra_bwd is not None:
         # The hand-written algebra pullbacks don't take the pad mask;
         # padded solves transpose by tracing (correct either way, and
@@ -210,17 +228,22 @@ def make_whole_solve(
         _alg_cv.defvjp(_alg_cv_fwd, _alg_cv_bwd)
         alg_for_bwd = _alg_cv
 
-    def _make_trial_step(alg):
-        def trial_step(t, dt, qold, y, f0, t1, span, tdir, count, leaves):
-            """One trial step as a pure function of loaded values — the
-            unit both kernels share (the backward differentiates it with
-            jax.vjp, so forward/backward stay op-for-op consistent; with
-            ``algebra_bwd`` the algebra's pullback is the hand chain, the
-            rest of the step still transposes by tracing)."""
-            remaining = t1 - t
-            is_last = (dt - remaining) * tdir >= 0
-            dt_eff = jnp.where(is_last, remaining, dt)
-            y_new, k7, e, n, d = alg(t, dt_eff, y, f0, leaves)
+    def _make_trial_step(alg, variant="plain"):
+        """One trial step as a pure function of loaded values — the
+        unit both kernels share (the backward differentiates it with
+        jax.vjp, so forward/backward stay op-for-op consistent; with
+        ``algebra_bwd`` the algebra's pullback is the hand chain, the
+        rest of the step still transposes by tracing).
+
+        ``variant``: "plain" (alg returns the quintuple), "res" (alg is
+        the residual-capturing forward; trial_step additionally returns
+        the stage residuals for the forward kernel to store), "cached"
+        (alg takes stored ``(ks, hs)`` as two extra trailing arguments —
+        the backward kernel's no-replay path)."""
+
+        def post(t, dt, qold, y, f0, t1, span, tdir, count, sweep_outs,
+                 is_last, dt_eff):
+            y_new, k7, e, n, d = sweep_outs
             eest, eigen = _normed_scalars(e, n, d, count, f32)
             accept = eest <= 1.0
             # Controller update on (1,1) vectors: Mosaic's scalar core has
@@ -240,10 +263,70 @@ def make_whole_solve(
             return (t_new, dt_next, qold_next, y_out, f0_out,
                     tel_t, dt_eff, eest, eigen, acc_f, done_f)
 
+        if variant == "cached":
+            def trial_step(t, dt, qold, y, f0, t1, span, tdir, count,
+                           leaves, ks, hs):
+                remaining = t1 - t
+                is_last = (dt - remaining) * tdir >= 0
+                dt_eff = jnp.where(is_last, remaining, dt)
+                outs = alg(t, dt_eff, y, f0, leaves, ks, hs)
+                return post(t, dt, qold, y, f0, t1, span, tdir, count,
+                            outs, is_last, dt_eff)
+        elif variant == "res":
+            def trial_step(t, dt, qold, y, f0, t1, span, tdir, count,
+                           leaves):
+                remaining = t1 - t
+                is_last = (dt - remaining) * tdir >= 0
+                dt_eff = jnp.where(is_last, remaining, dt)
+                outs, stage_res = alg(t, dt_eff, y, f0, leaves)
+                return post(t, dt, qold, y, f0, t1, span, tdir, count,
+                            outs, is_last, dt_eff), stage_res
+        else:
+            def trial_step(t, dt, qold, y, f0, t1, span, tdir, count,
+                           leaves):
+                remaining = t1 - t
+                is_last = (dt - remaining) * tdir >= 0
+                dt_eff = jnp.where(is_last, remaining, dt)
+                outs = alg(t, dt_eff, y, f0, leaves)
+                return post(t, dt, qold, y, f0, t1, span, tdir, count,
+                            outs, is_last, dt_eff)
+
         return trial_step
 
     trial_step = _make_trial_step(algebra)
     trial_step_bwd = _make_trial_step(alg_for_bwd)
+
+    trial_step_res = None
+    trial_step_cached = None
+    use_cache = cache_residuals and not _ALG_ABLATE
+    if use_cache:
+        from regneuralde_tpu.ops.pallas_generic import _stage_algebra_from_ks
+
+        recombine = _stage_algebra_from_ks(rtol, atol)
+
+        @jax.custom_vjp
+        def _alg_cached(t, dt, y, k1, leaves, ks, hs):
+            return recombine(t, dt, y, k1, ks)
+
+        def _alg_cached_fwd(t, dt, y, k1, leaves, ks, hs):
+            return (recombine(t, dt, y, k1, ks),
+                    (t, dt, y, k1, leaves, ks, hs))
+
+        def _alg_cached_bwd(res, cts):
+            t, dt, y, k1, leaves, ks, hs = res
+            # (ks, hs) are caches of the algebra's own intermediates —
+            # the hand pullback already charges their dependence on
+            # (t, dt, y, k1, leaves), so their direct cotangent is zero.
+            ct_t, ct_dt, ct_y, ct_k1, ct_leaves = algebra_bwd(
+                t, dt, y, k1, leaves, cts,
+                res=((k1,) + tuple(ks), tuple(hs)))
+            return (ct_t, ct_dt, ct_y, ct_k1, list(ct_leaves),
+                    tuple(jnp.zeros_like(k) for k in ks),
+                    tuple(jnp.zeros_like(h) for h in hs))
+
+        _alg_cached.defvjp(_alg_cached_fwd, _alg_cached_bwd)
+        trial_step_res = _make_trial_step(algebra_fwd_res, variant="res")
+        trial_step_cached = _make_trial_step(_alg_cached, variant="cached")
 
     def _hermite_row(th, dt_eff, y, y_new, f0, k7):
         """Cubic Hermite at scalar fraction ``th`` on one (batch, dim) row.
@@ -263,7 +346,7 @@ def make_whole_solve(
     # forward kernel
     # ------------------------------------------------------------------
 
-    def make_fwd_kernel(n_leaves):
+    def make_fwd_kernel(n_leaves, res_dims=None):
         def kernel(*refs):
             k = 0
             t0r = refs[k]; k += 1
@@ -296,9 +379,16 @@ def make_whole_solve(
             curfr = refs[k]; k += 1
             hyr = refs[k]; k += 1
             hfr = refs[k]; k += 1
+            if res_dims is not None:
+                hksr = refs[k]; k += 1   # HBM (max_steps, n_ks*B, dpad)
+                hhsr = refs[k]; k += 1   # HBM (max_steps, n_h*B, hpad)
             cpy = refs[k]; k += 1
             cpf = refs[k]; k += 1
             sem = refs[k]; k += 1
+            if res_dims is not None:
+                cks = refs[k]; k += 1    # VMEM (n_ks*B, dpad) scratch
+                chs = refs[k]; k += 1    # VMEM (n_h*B, hpad) scratch
+                sem2 = refs[k]; k += 1
 
             t0 = t0r[0, 0]
             t1 = t1r[0, 0]
@@ -328,6 +418,8 @@ def make_whole_solve(
             def cond(c):
                 return (c[6] == 0) & (c[0] < max_steps)
 
+            store_res = res_dims is not None and "nodma" not in _ABLATE
+
             def body(c):
                 if n_save:
                     i, t, dt, qold, na, nr, done, cur, y, f0 = c
@@ -343,9 +435,27 @@ def make_whole_solve(
                     d2 = pltpu.make_async_copy(cpf, hfr.at[i], sem.at[1])
                     d1.start()
                     d2.start()
-                (t_new, dt_next, qold_next, y_out, f0_out, tel_t, dt_eff,
-                 eest, eigen, acc_f, done_f) = trial_step(
-                    t, dt, qold, y, f0, t1, span, tdir, count, leaves)
+                if store_res:
+                    # Delayed-by-one residual stream: the scratch still
+                    # holds step i-1's stage residuals (written at the end
+                    # of the previous body), so its HBM copy overlaps THIS
+                    # step's sweep; the wait below lands before the
+                    # scratch is overwritten.
+                    @pl.when(i > 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            cks, hksr.at[i - 1], sem2.at[0]).start()
+                        pltpu.make_async_copy(
+                            chs, hhsr.at[i - 1], sem2.at[1]).start()
+                if res_dims is not None:
+                    ((t_new, dt_next, qold_next, y_out, f0_out, tel_t,
+                      dt_eff, eest, eigen, acc_f, done_f),
+                     stage_res) = trial_step_res(
+                        t, dt, qold, y, f0, t1, span, tdir, count, leaves)
+                else:
+                    (t_new, dt_next, qold_next, y_out, f0_out, tel_t,
+                     dt_eff, eest, eigen, acc_f, done_f) = trial_step(
+                        t, dt, qold, y, f0, t1, span, tdir, count, leaves)
                 if n_save:
                     # y_out/f0_out equal (y_new, k7) when accepted, so they
                     # are valid interpolation primals inside the accepted
@@ -376,6 +486,20 @@ def make_whole_solve(
                 if "nodma" not in _ABLATE:
                     d1.wait()
                     d2.wait()
+                if store_res:
+                    @pl.when(i > 0)
+                    def _():
+                        pltpu.make_async_copy(
+                            cks, hksr.at[i - 1], sem2.at[0]).wait()
+                        pltpu.make_async_copy(
+                            chs, hhsr.at[i - 1], sem2.at[1]).wait()
+                    ks_t, hs_t = stage_res
+                    bsz = y0.shape[0]
+                    hdim = hs_t[0].shape[-1]
+                    for j in range(len(ks_t) - 1):
+                        cks[j * bsz:(j + 1) * bsz, :dim] = ks_t[j + 1]
+                    for j in range(len(hs_t)):
+                        chs[j * bsz:(j + 1) * bsz, :hdim] = hs_t[j]
                 acc_i = acc_f.astype(i32)
                 tail = (cur,) if n_save else ()
                 return (i + 1, t_new.astype(f32), dt_next.astype(f32),
@@ -392,6 +516,21 @@ def make_whole_solve(
                 fin = lax.fori_loop(0, nfix, lambda _, c: body(c), init)
             else:
                 fin = lax.while_loop(cond, body, init)
+            if store_res:
+                # Flush the LAST executed step's residuals (its delayed
+                # copy never fired inside the loop).
+                nsf = fin[0]
+
+                @pl.when(nsf > 0)
+                def _():
+                    pltpu.make_async_copy(
+                        cks, hksr.at[nsf - 1], sem2.at[0]).start()
+                    pltpu.make_async_copy(
+                        chs, hhsr.at[nsf - 1], sem2.at[1]).start()
+                    pltpu.make_async_copy(
+                        cks, hksr.at[nsf - 1], sem2.at[0]).wait()
+                    pltpu.make_async_copy(
+                        chs, hhsr.at[nsf - 1], sem2.at[1]).wait()
             t, dt, qold, na, nr, done = fin[1:7]
             y = fin[-2]
             y1r[:] = y
@@ -409,7 +548,7 @@ def make_whole_solve(
     # backward kernel
     # ------------------------------------------------------------------
 
-    def make_bwd_kernel(n_leaves, leaf_shapes, batch, dim):
+    def make_bwd_kernel(n_leaves, leaf_shapes, batch, dim, res_dims=None):
         dpad = _pad128(dim)
 
         def kernel(*refs):
@@ -436,6 +575,9 @@ def make_whole_solve(
             leaf_refs = refs[k:k + n_leaves]; k += n_leaves
             hyr = refs[k]; k += 1
             hfr = refs[k]; k += 1
+            if res_dims is not None:
+                hksr = refs[k]; k += 1
+                hhsr = refs[k]; k += 1
             # outputs
             cty0r = refs[k]; k += 1
             ctf0r = refs[k]; k += 1
@@ -448,6 +590,15 @@ def make_whole_solve(
             ldy = refs[k]; k += 1
             ldf = refs[k]; k += 1
             sem = refs[k]; k += 1
+            if res_dims is not None:
+                # Double-buffered: ldy/ldf become (2, B, dpad) and every
+                # per-step HBM stream (y, f0, ks, hs) is prefetched one
+                # iteration ahead, overlapping the pullback.
+                semf = refs[k]; k += 1
+                ldks = refs[k]; k += 1   # VMEM (2, n_ks*B, dpad)
+                ldhs = refs[k]; k += 1   # VMEM (2, n_h*B, hpad)
+                semk = refs[k]; k += 1   # DMA (2,) one per slot
+                semh = refs[k]; k += 1
 
             t0 = t0r[0, 0]
             t1 = t1r[0, 0]
@@ -462,6 +613,10 @@ def make_whole_solve(
             step_fn = lambda t_, dt_, q_, y_, f_, t1_, sp_, ls_: (
                 trial_step_bwd(
                     t_, dt_, q_, y_, f_, t1_, sp_, tdir, count, ls_))
+            step_fn_cached = lambda t_, dt_, q_, y_, f_, t1_, sp_, ls_, \
+                ks_, hs_: trial_step_cached(
+                    t_, dt_, q_, y_, f_, t1_, sp_, tdir, count, ls_,
+                    ks_, hs_)
 
             ct_leaves0 = tuple(jnp.zeros(s, f32) for s in leaf_shapes)
             carry0 = (
@@ -485,6 +640,27 @@ def make_whole_solve(
                     # perf probes — see _ABLATE docs above).
                     y_i = jnp.full((batch, dim), 0.5, f32)
                     f0_i = jnp.full((batch, dim), 0.5, f32)
+                elif res_dims is not None:
+                    # Double-buffered with the residual stream below:
+                    # this row's copy was started one iteration ago.
+                    slot0 = lax.rem(j, 2)
+                    pltpu.make_async_copy(
+                        hyr.at[i], ldy.at[slot0], sem.at[slot0]).wait()
+                    pltpu.make_async_copy(
+                        hfr.at[i], ldf.at[slot0], semf.at[slot0]).wait()
+
+                    @pl.when(i > 0)
+                    def _():
+                        ns0 = lax.rem(j + 1, 2)
+                        pltpu.make_async_copy(
+                            hyr.at[i - 1], ldy.at[ns0],
+                            sem.at[ns0]).start()
+                        pltpu.make_async_copy(
+                            hfr.at[i - 1], ldf.at[ns0],
+                            semf.at[ns0]).start()
+
+                    y_i = ldy[slot0, :, :dim]
+                    f0_i = ldf[slot0, :, :dim]
                 else:
                     d1 = pltpu.make_async_copy(hyr.at[i], ldy, sem.at[0])
                     d2 = pltpu.make_async_copy(hfr.at[i], ldf, sem.at[1])
@@ -495,8 +671,75 @@ def make_whole_solve(
                     y_i = ldy[:, :dim]
                     f0_i = ldf[:, :dim]
 
-                outs, vjp = jax.vjp(step_fn, t_i, dt_i, qold_i, y_i, f0_i,
-                                    t1, span, list(leaves))
+                if "bwdskel" in _ABLATE or "bwdreplay" in _ABLATE:
+                    # Timing-only backward ablations (gradients are
+                    # garbage; perf probes only, n_save=0):
+                    #   bwdskel   — no replay, no pullback: isolates the
+                    #               reverse loop + history DMA + carry.
+                    #   bwdreplay — forward replay of the trial step but
+                    #               no pullback: adds the 1x stage sweep.
+                    # Tiny-coefficient mixes keep every input live so
+                    # Mosaic cannot dead-code the structure under study.
+                    if "bwdreplay" in _ABLATE:
+                        outs = step_fn(t_i, dt_i, qold_i, y_i, f0_i, t1,
+                                       span, list(leaves))
+                        (_tn, _dtn, _qn, y_out, f0_out, _telt, dt_eff,
+                         _e, _g, acc_f, _df) = outs
+                    else:
+                        y_out, f0_out = y_i, f0_i
+                        dt_eff = dt_i
+                        acc_f = jnp.ones((), f32)
+                    c999 = jnp.float32(0.999)
+                    eps = jnp.float32(1e-20)
+                    d_t = ct_t * c999 + dt_eff * eps
+                    d_dt = ct_dt * c999 + cttelt[i] * eps
+                    d_q = ct_qold * c999
+                    d_y = ct_y * c999 + y_out * eps
+                    d_f = ct_f0 * c999 + f0_out * eps
+                    d_t1 = jnp.zeros((), f32)
+                    d_sp = jnp.zeros((), f32)
+                    d_ls = [l * eps for l in leaves]
+                    return (
+                        d_t, d_dt, d_q, d_y, d_f,
+                        ct_t1a + d_t1, ct_spana + d_sp, rcur,
+                    ) + tuple(a + b for a, b in zip(ct_ls, d_ls))
+
+                if res_dims is not None:
+                    # No-replay path: the stored stage residuals stream
+                    # in DOUBLE-BUFFERED (this row's copy was started by
+                    # the previous iteration / the pre-loop prologue, so
+                    # it overlapped that step's pullback); the hand
+                    # pullback consumes (ks, hs) directly and the
+                    # primals recombine from ks with pure lincombs.
+                    n_ks, n_h, hdim = res_dims
+                    slot = lax.rem(j, 2)
+                    pltpu.make_async_copy(
+                        hksr.at[i], ldks.at[slot], semk.at[slot]).wait()
+                    pltpu.make_async_copy(
+                        hhsr.at[i], ldhs.at[slot], semh.at[slot]).wait()
+
+                    @pl.when(i > 0)
+                    def _():
+                        nslot = lax.rem(j + 1, 2)
+                        pltpu.make_async_copy(
+                            hksr.at[i - 1], ldks.at[nslot],
+                            semk.at[nslot]).start()
+                        pltpu.make_async_copy(
+                            hhsr.at[i - 1], ldhs.at[nslot],
+                            semh.at[nslot]).start()
+
+                    ks_v = tuple(
+                        ldks[slot, jj * batch:(jj + 1) * batch, :dim]
+                        for jj in range(n_ks))
+                    hs_v = tuple(
+                        ldhs[slot, jj * batch:(jj + 1) * batch, :hdim]
+                        for jj in range(n_h))
+                    outs, vjp = jax.vjp(
+                        step_fn_cached, t_i, dt_i, qold_i, y_i, f0_i,
+                        t1, span, list(leaves), ks_v, hs_v)
+                else:
+                    outs, vjp = jax.vjp(step_fn, t_i, dt_i, qold_i, y_i,
+                                        f0_i, t1, span, list(leaves))
                 (_tn, _dtn, _qn, y_out, f0_out, _telt, dt_eff, _e, _g,
                  acc_f, _df) = outs
 
@@ -552,11 +795,31 @@ def make_whole_solve(
                     cttele[i], cttelg[i],
                     jnp.zeros((), f32), jnp.zeros((), f32),
                 )
-                (d_t, d_dt, d_q, d_y, d_f, d_t1, d_sp, d_ls) = vjp(seeds)
+                if res_dims is not None:
+                    (d_t, d_dt, d_q, d_y, d_f, d_t1, d_sp, d_ls,
+                     _d_ks, _d_hs) = vjp(seeds)
+                else:
+                    (d_t, d_dt, d_q, d_y, d_f, d_t1, d_sp, d_ls) = vjp(
+                        seeds)
                 return (
                     d_t + di_t, d_dt, d_q, d_y + di_y, d_f + di_f0,
                     ct_t1a + d_t1, ct_spana + d_sp, rcur,
                 ) + tuple(a + b for a, b in zip(ct_ls, d_ls))
+
+            if res_dims is not None:
+                # Prologue for the double-buffered streams: iteration
+                # j waits on slot j%2, so prime slot 0 with the last
+                # executed row before entering the loop.
+                @pl.when(ns > 0)
+                def _():
+                    pltpu.make_async_copy(
+                        hyr.at[ns - 1], ldy.at[0], sem.at[0]).start()
+                    pltpu.make_async_copy(
+                        hfr.at[ns - 1], ldf.at[0], semf.at[0]).start()
+                    pltpu.make_async_copy(
+                        hksr.at[ns - 1], ldks.at[0], semk.at[0]).start()
+                    pltpu.make_async_copy(
+                        hhsr.at[ns - 1], ldhs.at[0], semh.at[0]).start()
 
             out = lax.fori_loop(0, ns, body, carry0)
             (ct_t, ct_dt, _ct_qold, ct_y, ct_f0, ct_t1a, ct_spana,
@@ -593,10 +856,22 @@ def make_whole_solve(
     def _s(x):
         return jnp.reshape(jnp.asarray(x, f32), (1, 1))
 
+    def _res_dims(y0, f0, leaves):
+        """(n_ks_stored, n_h, hdim) from the residual-capturing algebra's
+        abstract output — dynamics-agnostic shape inference."""
+        sds = jax.ShapeDtypeStruct
+        s0 = sds((), f32)
+        _, (ks_sd, hs_sd) = jax.eval_shape(
+            algebra_fwd_res, s0, s0, sds(y0.shape, y0.dtype),
+            sds(f0.shape, f0.dtype),
+            [sds(l.shape, l.dtype) for l in leaves])
+        return len(ks_sd) - 1, len(hs_sd), hs_sd[0].shape[-1]
+
     def _forward(t0, t1, dt0, y0, f0, ys0, saveat, leaves):
         batch, dim = y0.shape
         dpad = _pad128(dim)
         n_leaves = len(leaves)
+        res_dims = _res_dims(y0, f0, leaves) if use_cache else None
         ins = [_s(t0), _s(t1), _s(dt0), y0, f0]
         in_specs = [smem11(f32)] * 3 + [vmem, vmem]
         aliases = {}
@@ -628,17 +903,31 @@ def make_whole_solve(
         # HBM history
         outs_shape += [jax.ShapeDtypeStruct((max_steps, batch, dpad), f32)] * 2
         out_specs += [anym, anym]
+        scratch = [
+            pltpu.VMEM((batch, dpad), f32),
+            pltpu.VMEM((batch, dpad), f32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        if use_cache:
+            n_ks, n_h, hdim = res_dims
+            hpad = _pad128(hdim)
+            outs_shape += [
+                jax.ShapeDtypeStruct((max_steps, n_ks * batch, dpad), f32),
+                jax.ShapeDtypeStruct((max_steps, n_h * batch, hpad), f32),
+            ]
+            out_specs += [anym, anym]
+            scratch += [
+                pltpu.VMEM((n_ks * batch, dpad), f32),
+                pltpu.VMEM((n_h * batch, hpad), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
 
         res = pl.pallas_call(
-            make_fwd_kernel(n_leaves),
+            make_fwd_kernel(n_leaves, res_dims),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=outs_shape,
-            scratch_shapes=[
-                pltpu.VMEM((batch, dpad), f32),
-                pltpu.VMEM((batch, dpad), f32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch,
             input_output_aliases=aliases,
             compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
@@ -651,7 +940,8 @@ def make_whole_solve(
         (telt, teldt, tele, telg, telacc,
          ht, hdt, hqold) = res[k:k + 8]; k += 8
         tf, dtf, qoldf, na, nr, done, curf = res[k:k + 7]; k += 7
-        hy, hf = res[k:k + 2]
+        hy, hf = res[k:k + 2]; k += 2
+        hres = res[k:k + 2] if use_cache else ()
         # Rows beyond the executed step count are UNINITIALIZED (the kernel
         # skips the costly in-kernel zeroing); mask them here so downstream
         # masked reductions (values * mask) never touch garbage/NaN.
@@ -667,7 +957,7 @@ def make_whole_solve(
         )
         outs = (y1, ys if n_save else (), tel, tf[0, 0], dtf[0, 0],
                 qoldf[0, 0], na[0, 0], nr[0, 0], done[0, 0] > 0)
-        resid = (ht, hdt, hqold, hy, hf, na[0, 0] + nr[0, 0], curf)
+        resid = (ht, hdt, hqold, hy, hf, na[0, 0] + nr[0, 0], curf, hres)
         return outs, resid
 
     @jax.custom_vjp
@@ -697,12 +987,13 @@ def make_whole_solve(
 
     def _solve_bwd_impl(res, cts):
         (resid, tel, t0, t1, y0, f0, ys0, saveat, leaves) = res
-        ht, hdt, hqold, hy, hf, nsteps, curf = resid
+        ht, hdt, hqold, hy, hf, nsteps, curf, hres = resid
         (ct_y1, ct_ys, ct_tel, ct_tf, ct_dtf, ct_qoldf,
          _na, _nr, _done) = cts
         batch, dim = y0.shape
         dpad = _pad128(dim)
         n_leaves = len(leaves)
+        res_dims = _res_dims(y0, f0, leaves) if use_cache else None
         zs = jnp.zeros((max_steps,), f32)
 
         ins = [
@@ -730,6 +1021,9 @@ def make_whole_solve(
         in_specs += [vmem] * n_leaves
         ins += [hy, hf]
         in_specs += [anym, anym]
+        if use_cache:
+            ins += list(hres)
+            in_specs += [anym, anym]
 
         outs_shape = [jax.ShapeDtypeStruct((batch, dim), f32),
                       jax.ShapeDtypeStruct((batch, dim), f32)]
@@ -742,17 +1036,31 @@ def make_whole_solve(
         out_specs += [vmem] * n_leaves
         outs_shape += [jax.ShapeDtypeStruct((1, 1), f32)] * 3
         out_specs += [smem11(f32)] * 3
-
-        res_b = pl.pallas_call(
-            make_bwd_kernel(n_leaves, leaf_shapes, batch, dim),
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=outs_shape,
-            scratch_shapes=[
+        if use_cache:
+            n_ks, n_h, hdim = res_dims
+            scratch = [
+                pltpu.VMEM((2, batch, dpad), f32),
+                pltpu.VMEM((2, batch, dpad), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, n_ks * batch, dpad), f32),
+                pltpu.VMEM((2, n_h * batch, _pad128(hdim)), f32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            scratch = [
                 pltpu.VMEM((batch, dpad), f32),
                 pltpu.VMEM((batch, dpad), f32),
                 pltpu.SemaphoreType.DMA((2,)),
-            ],
+            ]
+
+        res_b = pl.pallas_call(
+            make_bwd_kernel(n_leaves, leaf_shapes, batch, dim, res_dims),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=outs_shape,
+            scratch_shapes=scratch,
             input_output_aliases=aliases,
             compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
@@ -871,6 +1179,10 @@ def whole_solve_odeint(
         apply_fn, rtol, atol, controller=controller, max_steps=max_steps,
         n_save=n_save, algebra_bwd=algebra_bwd,
         algebra_fwd_res=algebra_fwd_res, n_real=n_real,
+        # No-replay backward (round 5): stream stage residuals from the
+        # forward kernel whenever the hand pullback is available.
+        cache_residuals=(algebra_bwd is not None
+                         and algebra_fwd_res is not None),
     )
     leaves = flatten(args)
     (y1, ys, tel, _tf, _dtf, _qoldf, na, nr, done) = solve(

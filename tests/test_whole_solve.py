@@ -464,9 +464,44 @@ class TestHandAlgebraBackward:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=1e-5)
 
-    def test_residual_capture_bitwise_vs_recompute(self):
-        # algebra_fwd_res must be op-for-op the recompute it replaces:
-        # gradients with and without it are the SAME floats.
+    def test_fwd_res_bitwise_vs_stage_algebra(self):
+        # The residual-capturing algebra must be op-for-op the plain
+        # algebra (same quintuple, SAME floats): the whole-solve backward
+        # replays controller decisions from its values, and one flipped
+        # accept corrupts the adjoint. Direct unit check so a future edit
+        # to either function fails HERE, not in an end-to-end gradient.
+        from regneuralde_tpu.ops.pallas_generic import (
+            _stage_algebra,
+            _stage_algebra_from_ks,
+        )
+
+        node_w, _, x, p = self._mlp_setup()
+        apply_fn, flatten, _alg_bwd, alg_fwd_res = node_w._whole_solve_parts(
+            p)
+        leaves = flatten(p)
+        t = jnp.float32(0.15)
+        dt = jnp.float32(0.07)
+        k1 = apply_fn(t, x, leaves)
+        plain = _stage_algebra(apply_fn, 1e-4, 1e-4)
+        outs_plain = plain(t, dt, x, k1, leaves)
+        outs_res, (ks, hs) = alg_fwd_res(t, dt, x, k1, leaves)
+        for a, b in zip(outs_plain, outs_res):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # ...and the stored-ks recombination (the round-5 no-replay
+        # backward's primal) must reproduce the same quintuple bitwise —
+        # one flipped controller decision in the replayed backward would
+        # corrupt the adjoint outright.
+        recomb = _stage_algebra_from_ks(1e-4, 1e-4)
+        outs_rec = recomb(t, dt, x, k1, ks[1:])
+        for a, b in zip(outs_plain, outs_rec):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_cached_backward_matches_replay(self):
+        # With algebra_fwd_res the backward kernel streams stored stage
+        # residuals and SKIPS the replay (round 5) — a structurally
+        # different program from the replay backward, so its gradient
+        # floats may differ by ulps; the step sequence and loss must be
+        # identical, the gradients near-bitwise.
         node_w, _, x, p = self._mlp_setup()
         apply_fn, flatten, alg_bwd, alg_fwd_res = node_w._whole_solve_parts(p)
 
@@ -477,10 +512,20 @@ class TestHandAlgebraBackward:
                 algebra_bwd=alg_bwd, algebra_fwd_res=afr)
             tel = sol.telemetry
             r = jnp.sum(jnp.where(tel.accepted, tel.eest * tel.dt, 0.0))
-            return jnp.sum(sol.y1 ** 2) + 0.3 * r
+            return jnp.sum(sol.y1 ** 2) + 0.3 * r, sol.stats.nfe
 
-        g_res = jax.grad(lambda p: loss(p, alg_fwd_res))(p)
-        g_rec = jax.grad(lambda p: loss(p, None))(p)
+        (l_res, nfe_res), g_res = jax.value_and_grad(
+            lambda p: loss(p, alg_fwd_res), has_aux=True)(p)
+        (l_rec, nfe_rec), g_rec = jax.value_and_grad(
+            lambda p: loss(p, None), has_aux=True)(p)
+        assert int(nfe_res) == int(nfe_rec)
+        np.testing.assert_array_equal(np.asarray(l_res), np.asarray(l_rec))
+        # On the TPU the two engines measured BITWISE-equal gradients
+        # (tools/probe_cached_bwd.py, evidence/r5_backward_attribution);
+        # XLA:CPU in interpret mode fuses the two graphs differently and
+        # accumulates ~1e-5 relative matmul-order noise over the reverse
+        # sweep — hence the looser CPU tolerance here.
         for a, b in zip(jax.tree_util.tree_leaves(g_res),
                         jax.tree_util.tree_leaves(g_rec)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)

@@ -100,7 +100,29 @@ VARIANTS = [
     # the per-step 3.7MB HBM->VMEM DMA wait in the reverse loop)
     ("g_nobwddma", frozenset({FIXED, "nobwddma"}), frozenset(), "highest",
      "accurate", True),
+    # Round-5 backward decomposition (timing-only; gradients garbage).
+    # The reverse-step cost splits as: carry/loop (g_bwdskel+nobwddma),
+    # + history DMA (g_bwdskel), + 1x stage-sweep replay (g_bwdreplay),
+    # + pullback (g_fori - g_bwdreplay).
+    ("g_bwdskel", frozenset({FIXED, "bwdskel"}), frozenset(), "highest",
+     "accurate", True),
+    ("g_bwdskel_nodma", frozenset({FIXED, "bwdskel", "nobwddma"}),
+     frozenset(), "highest", "accurate", True),
+    ("g_bwdreplay", frozenset({FIXED, "bwdreplay"}), frozenset(),
+     "highest", "accurate", True),
+    # Structural variants (REAL gradients, different transpose engines):
+    # forcetraced is an unknown-math flag — it only flips the
+    # `not _ALG_ABLATE` gate in make_whole_solve, so the traced jax.vjp
+    # transpose runs instead of the hand chain, math unchanged.
+    ("g_traced", frozenset({FIXED}), frozenset({"forcetraced"}),
+     "highest", "accurate", True),
+    # hand chain WITHOUT the residual-capturing forward (the pullback
+    # recomputes its own stage sweep) — patched via NO_FRES below.
+    ("g_nofres", frozenset({FIXED}), frozenset(), "highest", "accurate",
+     True),
 ]
+
+NO_FRES = {"g_nofres"}
 
 PREC = {
     "highest": jax.lax.Precision.HIGHEST,
@@ -126,11 +148,14 @@ def main():
     sync = lambda r: float(np.asarray(jax.tree_util.tree_leaves(r)[0]
                                       ).ravel()[0])
     fns = {}
+    _real_fres = pm.make_normed_algebra_fwd_res
     for name, ws_ab, alg_ab, prec, tanh, grad in VARIANTS:
         ps._ABLATE = ws_ab
         pg._ALG_ABLATE = alg_ab
         pm._DOT_PRECISION = PREC[prec]
         pm._tanh = TANH[tanh]
+        pm.make_normed_algebra_fwd_res = (
+            (lambda r, a: None) if name in NO_FRES else _real_fres)
         if grad:
             # grad outputs are small (first leaf = a bias vector), so the
             # host sync is cheap.
@@ -152,6 +177,7 @@ def main():
     pg._ALG_ABLATE = frozenset()
     pm._DOT_PRECISION = PREC["highest"]
     pm._tanh = _ACCURATE_TANH
+    pm.make_normed_algebra_fwd_res = _real_fres
 
     nfe = int(jax.jit(lambda pp, xx: node(pp, xx, mode="while").nfe)(p, x))
     steps = (nfe - 2) // 6

@@ -112,6 +112,37 @@ def sde_whole_solve_grads():
                                    rtol=2e-2, atol=1e-4)
 
 
+def cached_backward_bitwise():
+    """The round-5 no-replay (residual-cached) whole-solve backward must
+    produce the SAME gradient floats as the replay backward on-device
+    (measured bitwise-equal, tools/probe_cached_bwd.py) and the padded
+    misaligned-batch path must match the unfused engine — both
+    MLPDynamics hand-chain behaviors the CPU interpret suite can only
+    check loosely."""
+    import regneuralde_tpu.ops.pallas_mlp as pm
+    from regneuralde_tpu.models import MLPDynamics, NeuralODE
+
+    m = MLPDynamics(dim=16, hidden=12)
+    x = jax.random.normal(jax.random.PRNGKey(4), (64, 16)) * 0.4
+    node = NeuralODE(m, rtol=1e-5, atol=1e-5, max_steps=64, fused="solve")
+    p = node.init(jax.random.PRNGKey(5), x)
+    loss = lambda pp: jnp.sum(node(pp, x, mode="adjoint").value ** 2)
+
+    g_cached = jax.jit(jax.grad(loss))(p)
+    real = pm.make_normed_algebra_fwd_res
+    try:
+        pm.make_normed_algebra_fwd_res = lambda r, a: None
+        node2 = NeuralODE(m, rtol=1e-5, atol=1e-5, max_steps=64,
+                          fused="solve")
+        g_replay = jax.jit(jax.grad(
+            lambda pp: jnp.sum(node2(pp, x, mode="adjoint").value ** 2)))(p)
+    finally:
+        pm.make_normed_algebra_fwd_res = real
+    for a, b in zip(jax.tree_util.tree_leaves(g_cached),
+                    jax.tree_util.tree_leaves(g_replay)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def per_sample_on_device():
     """Per-sample mode on the real chip: lane-vs-lone bitwise parity and
     adjoint/scan gradient agreement must survive compiled (non-interpret)
@@ -217,6 +248,8 @@ def run_all():
     check("whole_solve_grads_match_scan_on_device", whole_solve_grads)
     check("sde_whole_solve_grads_match_unfused_on_device",
           sde_whole_solve_grads)
+    check("cached_backward_bitwise_vs_replay_on_device",
+          cached_backward_bitwise)
     check("per_sample_lane_parity_and_grads_on_device",
           per_sample_on_device)
     check("per_sample_batched_engine_on_device",
