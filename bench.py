@@ -271,8 +271,11 @@ def run_tpu_regressions():
 # JSON). The single-dispatch engine is pinned EXACTLY (it is the engine
 # prior rounds recorded); the multi-step scan engine lowers to different
 # XLA fusions, whose f32 roundoff flips at most one accept/reject on the
-# controller boundary (measured: 218 vs 224 at step 10), so it is pinned
-# to within ONE Tsit5 trial step (6 fresh evals under FSAL).
+# controller boundary (measured: 218 vs 224 at step 10), so it is allowed
+# ONE Tsit5 trial step (6 fresh evals under FSAL) of drift — but (round 5,
+# VERDICT-r4 #6) any drift is (a) reported as its own field and (b)
+# CHARGED: the headline throughput is scaled by nfe/expected, so fewer
+# steps can never read as a perf win.
 EXPECTED_FLAGSHIP_NFE = 224
 NFE_TRIAL_STEP = 6
 
@@ -326,20 +329,32 @@ def main():
     tpu_reg = run_tpu_regressions()
     # Single-dispatch engine: exact pin (the engine prior rounds recorded).
     # Multi-step scan engine: within ONE trial step of the pin (different
-    # XLA lowering, f32 roundoff can flip one controller accept/reject).
+    # XLA lowering, f32 roundoff can flip one controller accept/reject) —
+    # and the headline is NFE-NORMALIZED below, so drift inside the band
+    # cannot masquerade as throughput.
+    drift = int(nfe) - EXPECTED_FLAGSHIP_NFE
     nfe_ok = (nfe_single == EXPECTED_FLAGSHIP_NFE
-              and abs(int(nfe) - EXPECTED_FLAGSHIP_NFE) <= NFE_TRIAL_STEP)
+              and abs(drift) <= NFE_TRIAL_STEP)
+    # Equal-work normalization: charge the multi-step engine as if it had
+    # executed exactly the pinned NFE (a 218-NFE run's samples/s scales by
+    # 218/224). Exact-pin runs are unchanged.
+    samples_per_sec_norm = samples_per_sec * (int(nfe)
+                                              / EXPECTED_FLAGSHIP_NFE)
 
     print(json.dumps({
         "metric": "mnist_node_regularized_train_throughput",
-        "value": round(samples_per_sec, 2),
+        "value": round(samples_per_sec_norm, 2),
         "unit": "samples/sec (batch 512, Tsit5 rtol=1.4e-8, reg on, "
-                f"nfe_per_step={int(nfe)}, {MEASURE} steps/dispatch)",
-        "vs_baseline": round(samples_per_sec / CPU_BASELINE_SAMPLES_PER_SEC, 2),
+                f"nfe_per_step={int(nfe)}, {MEASURE} steps/dispatch, "
+                "NFE-normalized)",
+        "vs_baseline": round(
+            samples_per_sec_norm / CPU_BASELINE_SAMPLES_PER_SEC, 2),
         "single_dispatch_samples_per_sec": round(single_dispatch_sps, 2),
+        "raw_samples_per_sec": round(samples_per_sec, 2),
         "nfe_per_step": int(nfe),
         "nfe_single_dispatch": nfe_single,
         "nfe_pin": {"expected": EXPECTED_FLAGSHIP_NFE,
+                    "multi_step_drift": drift,
                     "multi_step_tolerance": NFE_TRIAL_STEP, "ok": nfe_ok},
         "latent_ode_samples_per_sec": round(latent_sps, 2),
         "latent_ode_nfe_per_step": latent_nfe,

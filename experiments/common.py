@@ -72,6 +72,9 @@ def parse_args(default_config: str) -> argparse.Namespace:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--data-parallel", type=int, default=None, metavar="N",
                    help="run data-parallel over N mesh devices")
+    p.add_argument("--compensated-eest", action="store_true",
+                   help="double-f32 embedded-error estimator arithmetic "
+                        "(ops.compensated; unfused generic sweep only)")
     p.add_argument("--per-sample", action="store_true",
                    help="per-sample adaptive stepping (each batch element "
                         "gets its own controller and NFE; reported NFE is "

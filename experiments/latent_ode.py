@@ -89,9 +89,12 @@ def main():
         # Fused Pallas trial step (generic builder) on accelerators.
         # --per-sample gives every series its own adaptive controller
         # (honest per-sample NFE over the shared saveat grid); it uses its
-        # own unfused vmap engine.
-        fused=jax.default_backend() != "cpu" and not per_sample,
+        # own unfused vmap engine. --compensated-eest (round 5) swaps in
+        # the double-f32 estimator arithmetic — unfused generic sweep.
+        fused=(jax.default_backend() != "cpu" and not per_sample
+               and not args.compensated_eest),
         per_sample=per_sample,
+        compensated_eest=args.compensated_eest,
     )
     model = LatentTimeSeriesModel(
         rnn=LatentGRU(in_dim=37, hidden=40, latent_dim=50),

@@ -64,6 +64,7 @@ class NeuralODE:
         axis_name: Optional[str] = None,
         fused: bool = False,
         per_sample: bool = False,
+        compensated_eest: bool = False,
     ):
         self.dynamics = dynamics
         self.tspan = tspan
@@ -74,6 +75,14 @@ class NeuralODE:
         self.max_steps = max_steps
         self.saveat = saveat
         self.axis_name = axis_name
+        # Double-f32 embedded-error estimate (ops.compensated): removes
+        # the estimator's ARITHMETIC rounding noise at tight tolerances.
+        # Generic (unfused, shared-controller) sweep only.
+        if compensated_eest and (fused or per_sample):
+            raise ValueError(
+                "compensated_eest requires fused=False and "
+                "per_sample=False (generic sweep only)")
+        self.compensated_eest = compensated_eest
         # Per-sample adaptive stepping (torchode-style): every batch
         # element gets its own PI controller and NFE count instead of the
         # reference's one-global-error-norm semantics (see
@@ -350,6 +359,7 @@ class NeuralODE:
             axis_name=self.axis_name,
             stage_sweep=stage_sweep,
             stage_sweep_bwd=stage_sweep_bwd,
+            compensated_eest=self.compensated_eest,
         )
         if saveat is not None:
             # (time, batch, feat) -> (batch, time, feat)

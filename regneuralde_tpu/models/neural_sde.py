@@ -79,6 +79,13 @@ class NeuralSDE:
         # see ops.per_sample.sdeint_per_sample. nfe1/nfe2 become (batch,)
         # vectors. Incompatible with fused kernels; axis_name needs no
         # step sync in this mode and is not threaded into the solve.
+        # per_sample may be True (vmap engine, full generality) or the
+        # string "batched" (the per-lane-controller dense engine —
+        # ops.per_sample_sde_batched; 2-D states, collapse bridge).
+        if per_sample not in (False, True, "batched"):
+            raise ValueError(
+                "per_sample must be False, True or 'batched', got "
+                f"{per_sample!r}")
         self.per_sample = per_sample
         if per_sample and fused:
             raise ValueError(
@@ -128,6 +135,8 @@ class NeuralSDE:
                 key=key, solver=self.solver, rtol=self.rtol,
                 atol=self.atol, max_steps=self.max_steps, saveat=saveat,
                 mode=mode, brownian=brownian,
+                engine=("batched" if self.per_sample == "batched"
+                        else "vmap"),
             )
             value = (jnp.swapaxes(sol.ys, 0, 1)
                      if saveat is not None else sol.y1)

@@ -118,6 +118,20 @@ class NormedSweep(NamedTuple):
     eig_den_ssq: jnp.ndarray  # sum((y_new - g_prev)^2)
 
 
+class CompSweep(NamedTuple):
+    """A sweep result whose embedded error carries its rounding residual
+    as an (hi, lo) double-f32 pair (``odeint(compensated_eest=True)``;
+    see ops/compensated.py). The step fn folds the pair into the scaled
+    norm before squaring."""
+
+    y_new: Pytree
+    k_last: Pytree
+    err_hi: Pytree
+    err_lo: Pytree
+    k_prev: Pytree
+    g_prev: Pytree
+
+
 class EigenSweep(NamedTuple):
     """A ``stage_sweep`` result that supplies its own stiffness estimate
     instead of the explicit-RK two-stage quotient (used by implicit /
@@ -187,12 +201,42 @@ def _make_step_fn(
     saveat: Optional[jnp.ndarray],
     axis_name: Optional[str],
     stage_sweep: Optional[Callable] = None,
+    compensated: bool = False,
 ):
     if not tab.fsal:
         raise NotImplementedError("only FSAL tableaus are supported")
     n_stages = tab.num_stages
     time_dtype = jnp.result_type(t1)
     err_dtype = jnp.promote_types(time_dtype, jnp.float32)
+
+    def compensated_sweep(t, dt_eff, y, f0, args_):
+        # Same stage math as generic_sweep, but the embedded-error
+        # combination carries its rounding residual as an (hi, lo)
+        # float pair (ops.compensated; VERDICT-r4 #3) folded into the
+        # scaled norm in step() below. Removes ARITHMETIC noise from
+        # the estimator; stage-input rounding remains (see
+        # ops/compensated.py).
+        from regneuralde_tpu.ops.compensated import (
+            compensated_error_combination,
+        )
+
+        ks = [f0]
+        y_stage = y
+        for i in range(1, n_stages):
+            y_stage = tree_lincomb(y, dt_eff, tab.a[i - 1], ks)
+            ks.append(func(t + tab.c[i] * dt_eff, y_stage, args_))
+        y_new = y_stage
+        g_prev = tree_lincomb(y, dt_eff, tab.a[n_stages - 3],
+                              ks[: n_stages - 2])
+        pairs = jax.tree_util.tree_map(
+            lambda *kl: compensated_error_combination(
+                dt_eff, tab.btilde, kl),
+            *ks,
+        )
+        err_hi, err_lo = jax.tree_util.tree_transpose(
+            jax.tree_util.tree_structure(y),
+            jax.tree_util.tree_structure((0, 0)), pairs)
+        return CompSweep(y_new, ks[-1], err_hi, err_lo, ks[-2], g_prev)
 
     def generic_sweep(t, dt_eff, y, f0, args_):
         # Stage sweep. FSAL: the advancing solution equals the input of the
@@ -222,7 +266,12 @@ def _make_step_fn(
         )
         return y_new, ks[-1], err, ks[-2], g_prev
 
-    sweep = stage_sweep if stage_sweep is not None else generic_sweep
+    if compensated and stage_sweep is not None:
+        raise ValueError(
+            "compensated_eest applies to the generic (unfused) sweep "
+            "only — construct with fused=False / no stage_sweep")
+    sweep = (stage_sweep if stage_sweep is not None
+             else (compensated_sweep if compensated else generic_sweep))
 
     def step(carry: _Carry):
         t, dt, qold, y, f0 = carry.t, carry.dt, carry.qold, carry.y, carry.f0
@@ -251,6 +300,37 @@ def _make_step_fn(
             eest, eigen_est = _normed_scalars(
                 err_ssq, num_ssq, den_ssq, count, err_dtype
             )
+        elif isinstance(res, CompSweep):
+            from regneuralde_tpu.ops.compensated import (
+                compensated_error_ssq,
+            )
+
+            y_new, k_last = res.y_new, res.k_last
+            ssq = sum(
+                compensated_error_ssq(hi, lo, yl, ynl, rtol, atol)
+                for hi, lo, yl, ynl in zip(
+                    jax.tree_util.tree_leaves(res.err_hi),
+                    jax.tree_util.tree_leaves(res.err_lo),
+                    jax.tree_util.tree_leaves(y),
+                    jax.tree_util.tree_leaves(y_new)))
+            ssq = ssq.astype(err_dtype)
+            count = jnp.asarray(
+                sum(l.size for l in jax.tree_util.tree_leaves(y)),
+                err_dtype)
+            if axis_name is not None:
+                ssq = lax.psum(ssq, axis_name)
+                count = lax.psum(count, axis_name)
+            eest = jnp.where(
+                ssq > 0,
+                jnp.sqrt(jnp.where(ssq > 0, ssq, 1.0) / count),
+                0.0).astype(err_dtype)
+            eig_num = hairer_norm(tree_sub(k_last, res.k_prev),
+                                  axis_name=axis_name)
+            eig_den = hairer_norm(tree_sub(y_new, res.g_prev),
+                                  axis_name=axis_name)
+            eigen_est = jnp.where(
+                eig_den > 0, eig_num / jnp.maximum(eig_den, 1e-30), 0.0
+            ).astype(err_dtype)
         elif isinstance(res, EigenSweep):
             y_new, k_last = res.y_new, res.k_last
             eest = error_ratio(res.err, y, y_new, rtol, atol,
@@ -439,7 +519,7 @@ class _AdjointHist(NamedTuple):
 def _make_adjoint_solve(
     func, tab, ctrl, rtol, atol, has_saveat, axis_name, stage_sweep,
     max_steps, time_dtype, err_dtype, bwd_precision,
-    step_builder=None, aux0=(),
+    step_builder=None, aux0=(), compensated=False,
 ):
     """Build the custom_vjp'd solve for one (static-config) odeint call.
 
@@ -478,7 +558,7 @@ def _make_adjoint_solve(
         step_fn, _ = _make_step_fn(
             func, args, tab, ctrl, t1, tdir, span, rtol, atol,
             saveat if has_saveat else None,
-            axis_name, stage_sweep=stage_sweep,
+            axis_name, stage_sweep=stage_sweep, compensated=compensated,
         )
         return step_fn
 
@@ -1075,6 +1155,7 @@ def odeint(
     matmul_precision: Optional[str] = "highest",
     stage_sweep: Optional[Callable] = None,
     stage_sweep_bwd: Optional[Callable] = None,
+    compensated_eest: bool = False,
     _bwd_precision: Optional[str] = None,
 ) -> ODESolution:
     """Integrate ``dy/dt = func(t, y, args)`` from ``t0`` to ``t1``.
@@ -1123,6 +1204,7 @@ def odeint(
                 mode=mode, remat=remat, axis_name=axis_name,
                 matmul_precision=None, stage_sweep=stage_sweep,
                 stage_sweep_bwd=stage_sweep_bwd,
+                compensated_eest=compensated_eest,
                 _bwd_precision=matmul_precision,
             )
     auto_composite = False
@@ -1232,9 +1314,14 @@ def odeint(
         ys_buf=ys_buf,
     )
 
+    if compensated_eest and (stage_sweep is not None or auto_composite
+                             or solver == "rosenbrock23"):
+        raise ValueError(
+            "compensated_eest applies to the generic explicit-RK sweep "
+            "only (no fused stage_sweep, no rosenbrock/auto_* solvers)")
     step_fn, noop_fn = _make_step_fn(
         func, args, tab, ctrl, t1, tdir, span, rtol, atol, saveat, axis_name,
-        stage_sweep=stage_sweep,
+        stage_sweep=stage_sweep, compensated=compensated_eest,
     )
 
     n_stages_stiff = 0
@@ -1309,6 +1396,7 @@ def odeint(
             func, tab, ctrl, rtol, atol, saveat is not None, axis_name,
             stage_sweep, max_steps, time_dtype, err_dtype, _bwd_precision,
             step_builder=step_builder, aux0=aux0,
+            compensated=compensated_eest,
         )
         ys_init = ys_buf if ys_buf is not None else ()
         sa_arg = saveat if saveat is not None else ()

@@ -221,6 +221,7 @@ def sdeint_per_sample(
     args: Any = None,
     *,
     key: jax.Array,
+    engine: str = "vmap",
     **kwargs,
 ) -> "SDESolution":
     """Per-sample adaptive SDE stepping (see :func:`odeint_per_sample`).
@@ -247,6 +248,29 @@ def sdeint_per_sample(
     _reject_global_kwargs(kwargs)
     batch = _check_batch(y0)
     saveat, sa_axis = _split_saveat(kwargs, batch)
+
+    if engine == "batched":
+        # Per-lane-controller dense engine (per_sample_sde_batched): the
+        # same per-lane semantics AND per-lane Brownian paths without
+        # vmap's per-lane buffer-update cost class. Scoped to single
+        # 2-D states and the collapse bridge scheme.
+        from regneuralde_tpu.ops.per_sample_sde_batched import (
+            sdeint_per_sample_batched,
+        )
+
+        if not (hasattr(y0, "ndim") and y0.ndim == 2):
+            raise ValueError(
+                "engine='batched' needs a bare 2-D (batch, dim) state "
+                "array; use engine='vmap' for pytree states")
+        mode = kwargs.pop("mode", None)
+        if mode == "while":
+            mode = "adjoint"  # the batched adjoint IS the early-exit loop
+        return sdeint_per_sample_batched(
+            drift, diffusion, y0, t0, t1, args, key=key,
+            mode=mode or "adjoint", saveat=saveat, **kwargs)
+    if engine != "vmap":
+        raise ValueError(f"engine must be 'vmap' or 'batched', got "
+                         f"{engine!r}")
 
     y0_lanes = jax.tree_util.tree_map(lambda l: l[:, None], y0)
     t0a = jnp.asarray(t0)

@@ -596,3 +596,142 @@ class TestBatchedAdjointMode:
                 rtol=1e-5, atol=1e-6)
             np.testing.assert_array_equal(np.asarray(outs[m].nfe),
                                           np.asarray(outs["adjoint"].nfe))
+
+
+class TestBatchedSDEEngine:
+    """Per-lane-controller batched SDE engine
+    (ops.per_sample_sde_batched): the same per-lane semantics and
+    per-lane Brownian paths as the vmap engine, as one dense batched
+    program. Contract: draws/NFE matched to the vmap engine per lane,
+    gradients pinned to the scan mode."""
+
+    def test_matches_vmap_engine_per_lane(self):
+        b = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                              key=SDE_KEY, mode="scan", engine="batched",
+                              **SDE_KW)
+        v = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                              key=SDE_KEY, mode="scan", **SDE_KW)
+        assert bool(b.stats.success.all())
+        # Same per-lane draw chain and controller: identical per-lane
+        # accept/reject counts and (to broadcast-order rounding)
+        # identical trajectories.
+        np.testing.assert_array_equal(np.asarray(b.stats.naccept),
+                                      np.asarray(v.stats.naccept))
+        np.testing.assert_array_equal(np.asarray(b.stats.nreject),
+                                      np.asarray(v.stats.nreject))
+        np.testing.assert_array_equal(np.asarray(b.stats.nfe1),
+                                      np.asarray(v.stats.nfe1))
+        np.testing.assert_allclose(np.asarray(b.y1), np.asarray(v.y1),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_adjoint_matches_scan_forward(self):
+        s = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                              key=SDE_KEY, mode="scan", engine="batched",
+                              **SDE_KW)
+        a = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                              key=SDE_KEY, mode="adjoint",
+                              engine="batched", **SDE_KW)
+        np.testing.assert_array_equal(np.asarray(s.y1), np.asarray(a.y1))
+        np.testing.assert_array_equal(np.asarray(s.stats.nfe1),
+                                      np.asarray(a.stats.nfe1))
+
+    def test_gradients_adjoint_matches_scan(self):
+        def pdrift(t, y, args):
+            (k,) = args
+            return -k * y
+
+        def loss(p, y, mode):
+            s = sdeint_per_sample(pdrift, sde_diffusion, y, 0.0, 1.0, p,
+                                  key=SDE_KEY, mode=mode,
+                                  engine="batched", **SDE_KW)
+            return (jnp.sum(s.y1 ** 2)
+                    + reg.error_estimate(s.telemetry, agg="mean"))
+
+        ga = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                     static_argnums=2)((0.5,), SDE_Y0, "adjoint")
+        gs = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                     static_argnums=2)((0.5,), SDE_Y0, "scan")
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gs)):
+            assert bool(jnp.all(jnp.isfinite(b)))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_gradients_match_vmap_engine(self):
+        def pdrift(t, y, args):
+            (k,) = args
+            return -k * y
+
+        def loss(p, engine):
+            s = sdeint_per_sample(pdrift, sde_diffusion, SDE_Y0, 0.0,
+                                  1.0, p, key=SDE_KEY, mode="scan",
+                                  engine=engine, **SDE_KW)
+            return jnp.sum(s.y1 ** 2)
+
+        gb = jax.grad(lambda p: loss(p, "batched"))((0.5,))
+        gv = jax.grad(lambda p: loss(p, "vmap"))((0.5,))
+        np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(gv[0]),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_saveat_matches_vmap(self):
+        sa = jnp.stack([
+            jnp.linspace(0.2, 1.0, 4),
+            jnp.linspace(0.0, 0.7, 4),
+            jnp.array([0.1, 0.5, 0.6, 1.0]),
+        ])
+        b = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                              key=SDE_KEY, mode="scan", engine="batched",
+                              saveat=sa, **SDE_KW)
+        v = sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                              key=SDE_KEY, mode="scan", saveat=sa,
+                              **SDE_KW)
+        assert b.ys.shape == (4, SDE_Y0.shape[0], 2)
+        assert b.ts.shape == sa.shape
+        np.testing.assert_allclose(np.asarray(b.ys), np.asarray(v.ys),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_saveat_adjoint_grads(self):
+        sa = jnp.linspace(0.1, 1.0, 5)
+
+        def loss(y, mode):
+            s = sdeint_per_sample(sde_drift, sde_diffusion, y, 0.0, 1.0,
+                                  key=SDE_KEY, mode=mode,
+                                  engine="batched", saveat=sa, **SDE_KW)
+            return jnp.sum(s.ys ** 2)
+
+        ga = jax.grad(lambda y: loss(y, "adjoint"))(SDE_Y0)
+        gs = jax.grad(lambda y: loss(y, "scan"))(SDE_Y0)
+        assert bool(jnp.all(jnp.isfinite(gs)))
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gs),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_neural_sde_batched_routing(self):
+        class Drift(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Dense(x.shape[-1])(jnp.tanh(x))
+
+        class Diffusion(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return 0.1 * jnp.tanh(nn.Dense(x.shape[-1])(x))
+
+        model = NeuralSDE(Drift(), Diffusion(), rtol=1.4e-1, atol=1.4e-1,
+                          max_steps=64, per_sample="batched")
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 3)) * 0.5
+        p = model.init(jax.random.PRNGKey(1), x)
+        out = model(p, x, jax.random.PRNGKey(2))
+        assert out.value.shape == (4, 3)
+        assert out.nfe1.shape == (4,)
+        assert bool(out.solution.stats.success.all())
+
+    def test_scope_errors(self):
+        with pytest.raises(NotImplementedError, match="collapse"):
+            sdeint_per_sample(sde_drift, sde_diffusion, SDE_Y0, 0.0, 1.0,
+                              key=SDE_KEY, engine="batched",
+                              brownian="stack", **SDE_KW)
+        with pytest.raises(ValueError, match="2-D"):
+            sdeint_per_sample(
+                sde_drift, sde_diffusion,
+                jnp.zeros((3, 2, 2)), 0.0, 1.0, key=SDE_KEY,
+                engine="batched", **SDE_KW)

@@ -52,10 +52,24 @@ d0, m0, _, _, tp0, _ = batches[0]
 saveat64 = jnp.sort(jnp.asarray(tp0[0], jnp.float64))
 
 
-def build(dtype):
-    node = NeuralODE(AlternatingMLP(dim=20, hidden=50, depth=4),
+def build(dtype, compensated=False, stage_round32=False):
+    """``compensated``: double-f32 estimator arithmetic (ops.compensated,
+    round 5). ``stage_round32``: keep every estimator/controller op at
+    ``dtype`` (f64) but round each stage EVALUATION's input and output to
+    f32 — the 'perfect estimator arithmetic, f32-limited stages' ceiling
+    leg: if THIS leg's cos is low, no estimator-side arithmetic (however
+    compensated) can recover the signal, because it never reaches the
+    estimator."""
+    dyn = AlternatingMLP(dim=20, hidden=50, depth=4)
+    if stage_round32:
+        r32 = lambda v: jnp.asarray(jnp.asarray(v, jnp.float32), dtype)
+        dynamics = lambda p, y: r32(dyn.apply(p, r32(y)))
+    else:
+        dynamics = dyn
+    node = NeuralODE(dynamics,
                      time_dep=False, solver="tsit5", rtol=RTOL,
                      atol=RTOL, max_steps=768,
+                     compensated_eest=compensated,
                      # pin the time dtype: under x64, python-float tspan
                      # promotes the whole solve to f64
                      tspan=(jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype)),
@@ -156,3 +170,33 @@ for which in ("reg", "task"):
                   f"cos(f32,f64)={cos(a,b):+.4f} "
                   f"|f32|={float(jnp.linalg.norm(a)):.3e} "
                   f"|f64|={float(jnp.linalg.norm(b.astype(jnp.float32))):.3e}")
+
+# ---------------------------------------------------------------------------
+# Round-5 estimator-arithmetic legs (VERDICT-r4 #3): can compensated
+# (double-f32) estimator arithmetic push the EEst noise floor below the
+# tolerance? Three legs against the same f64 truth, reg gradient, "de"
+# group:
+#   f32        the baseline (known low cos at 1.4e-8)
+#   f32comp    double-f32 error combination + scaled norm (ops.compensated)
+#   f64stage32 PERFECT (f64) estimator/controller arithmetic with only the
+#              stage evaluations rounded to f32 — the information-theoretic
+#              ceiling of ANY estimator-side arithmetic on f32 stages
+# If f64stage32 is already low, the floor is stage-input rounding amplified
+# through the dynamics, and no compensated summation can recover it.
+# ---------------------------------------------------------------------------
+print("\n# round-5 estimator-arithmetic legs")
+m32c = build(jnp.float32, compensated=True)
+m64r = build(jnp.float64, stage_round32=True)
+legs = [("f32", m32, jnp.float32), ("f32comp", m32c, jnp.float32),
+        ("f64stage32", m64r, jnp.float64)]
+for name, p in ckpts.items():
+    g64 = reg_grad(m64, p, batches[0], jnp.float64, probe_key, "reg")
+    b = jnp.concatenate([x.ravel() for x in
+                         jax.tree_util.tree_leaves(g64["de"])])
+    for label, mdl, dtype in legs:
+        g = reg_grad(mdl, p, batches[0], dtype, probe_key, "reg")
+        a = jnp.concatenate([x.ravel() for x in
+                             jax.tree_util.tree_leaves(g["de"])])
+        print(f"rtol={RTOL:g} reg {name:6s} de   "
+              f"cos({label},f64)={cos(a, b):+.4f} "
+              f"|{label}|={float(jnp.linalg.norm(a.astype(jnp.float32))):.3e}")
