@@ -80,6 +80,11 @@ def parse_args(default_config: str) -> argparse.Namespace:
                         "gets its own controller and NFE; reported NFE is "
                         "the batch max = the solve's wall-clock cost, with "
                         "the mean printed alongside)")
+    p.add_argument("--per-sample-engine", default="batched",
+                   choices=["batched", "vmap"],
+                   help="per-sample engine: the per-lane-controller dense "
+                        "engine (default; 2-D states) or the fully "
+                        "general vmap engine")
     p.add_argument("--resume-from", default=None, metavar="RUN_DIR",
                    help="resume from the latest checkpoint of a prior run dir")
     return p.parse_args()

@@ -77,7 +77,11 @@ def main():
     # One shared saveat grid, as the reference takes sample 1's stamps (:137).
     saveat = jnp.asarray(train_loader.first_batch()[5][0], jnp.float32)
 
-    per_sample = bool(args.per_sample)
+    # --per-sample-engine batched (default): the per-lane-controller
+    # dense engine; "vmap" forces the fully general engine.
+    # (True selects the fully general vmap engine.)
+    per_sample = ((True if args.per_sample_engine == "vmap" else "batched")
+                  if args.per_sample else False)
     node = NeuralODE(
         AlternatingMLP(dim=20, hidden=50, depth=4),
         time_dep=False,

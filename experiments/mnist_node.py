@@ -80,7 +80,11 @@ def main():
     print(f"data source: {train_loader.source}")
 
     axis_name = "data" if args.data_parallel else None
-    per_sample = bool(args.per_sample)
+    # --per-sample-engine batched (default): the per-lane-controller
+    # dense engine; "vmap" forces the fully general engine.
+    # (True selects the fully general vmap engine.)
+    per_sample = ((True if args.per_sample_engine == "vmap" else "batched")
+                  if args.per_sample else False)
     node = NeuralODE(
         MLPDynamics(dim=784, hidden=100),
         tspan=(0.0, 1.0),

@@ -46,7 +46,11 @@ def main():
     # damping-optimized SOSRI2 tableau when harvesting the stiffness
     # estimate (mnist_nsde.jl:45-65 uses AutoSOSRI2(SOSRI2()) there).
     solver = "sosri2" if reg_type == "stiff_est" else "sosri"
-    per_sample = bool(args.per_sample)
+    # --per-sample-engine batched (default): the per-lane-controller
+    # dense engine; "vmap" forces the fully general engine.
+    # (True selects the fully general vmap engine.)
+    per_sample = ((True if args.per_sample_engine == "vmap" else "batched")
+                  if args.per_sample else False)
     nsde = NeuralSDE(
         MLP(features=(64, 32)),
         MLP(features=(32,)),
