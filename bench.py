@@ -332,14 +332,20 @@ def main():
     # XLA lowering, f32 roundoff can flip one controller accept/reject) —
     # and the headline is NFE-NORMALIZED below, so drift inside the band
     # cannot masquerade as throughput.
+    # The pin (and the equal-work normalization) only mean anything at
+    # the flagship configuration; smoke harnesses shrink BATCH/MAX_STEPS
+    # and legitimately land on a different step count.
+    flagship_shape = BATCH == 512 and MAX_STEPS == 96
     drift = int(nfe) - EXPECTED_FLAGSHIP_NFE
-    nfe_ok = (nfe_single == EXPECTED_FLAGSHIP_NFE
-              and abs(drift) <= NFE_TRIAL_STEP)
+    nfe_ok = (not flagship_shape
+              or (nfe_single == EXPECTED_FLAGSHIP_NFE
+                  and abs(drift) <= NFE_TRIAL_STEP))
     # Equal-work normalization: charge the multi-step engine as if it had
     # executed exactly the pinned NFE (a 218-NFE run's samples/s scales by
     # 218/224). Exact-pin runs are unchanged.
-    samples_per_sec_norm = samples_per_sec * (int(nfe)
-                                              / EXPECTED_FLAGSHIP_NFE)
+    samples_per_sec_norm = (samples_per_sec
+                            * (int(nfe) / EXPECTED_FLAGSHIP_NFE)
+                            if flagship_shape else samples_per_sec)
 
     print(json.dumps({
         "metric": "mnist_node_regularized_train_throughput",

@@ -150,8 +150,12 @@ class FFJORD:
                        or jax.default_backend() == "cpu")
             eligible = aligned and (
                 self.fused == "solve"
+                # 28MB preserves this gate's original shape eligibility
+                # after vmem_estimate's round-5 recalibration (20 -> 46
+                # batch-rows; the CSL kernels use the traced-vjp replay
+                # backward, for which the old 12MB gate was tuned).
                 or (self.fused is True
-                    and vmem_estimate(batch, u0.shape[-1]) <= 12 * 2**20)
+                    and vmem_estimate(batch, u0.shape[-1]) <= 28 * 2**20)
             )
             if eligible:
                 sol = whole_solve_odeint(

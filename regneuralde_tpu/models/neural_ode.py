@@ -247,14 +247,18 @@ class NeuralODE:
             # round 4 on the SDE twin at (100, 2)). The VMEM estimate
             # uses the padded batch.
             batch_pad = x.shape[0] + (-x.shape[0]) % 8
-            # Whole-solve kernels run with a raised scoped-VMEM limit
-            # (100MB; see ops.pallas_solve) — the flagship shape's 36.7MB
-            # working set fits the monolithic kernel directly.
+            # Whole-solve kernels run with a raised 112MB scoped-VMEM
+            # limit (see ops.pallas_solve). vmem_estimate is calibrated
+            # 1:1 against the round-5 Mosaic bisection (the flagship's
+            # measured peak is 84±4MB = its estimate), so gate at 96MB:
+            # 16MB of calibration margin below the hard limit. Shapes
+            # above it route to the tiled/unfused engines instead of
+            # faulting Mosaic at compile time.
             eligible = (
                 self.fused == "solve"
                 or (self.fused is True
                     and vmem_estimate(batch_pad, x.shape[-1], n_save)
-                    <= 64 * 2**20)
+                    <= 96 * 2**20)
             )
             if eligible:
                 (apply_fn, flatten, alg_bwd,

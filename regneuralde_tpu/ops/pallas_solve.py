@@ -90,20 +90,28 @@ def _pad128(d: int) -> int:
 
 
 # Whole-solve kernels legitimately need more than Mosaic's 16MB default
-# scoped-VMEM budget at flagship shapes (the traced trial-step vjp keeps
-# ~20 batch-size arrays live: 36.7MB at batch 512 x dim 784; the
-# layout-disciplined hand backward adds two hoisted weight transposes and
-# peaks at 104.8MB). v5e VMEM is 128MB/core; raise the scoped limit
+# scoped-VMEM budget at flagship shapes. Round-5 re-measurement with the
+# residual-streaming (no-replay) backward enabled (tools/probe_vmem_peak,
+# batch 512 x dim 784, MLPDynamics hand pullback + double-buffered
+# (2, n_ks*B, dpad)/(2, n_h*B, hpad) prefetch blocks): the flagship
+# gradient compiles at an 88MB scoped limit and fails at 80MB — the
+# replay's stage temporaries it dropped outweigh the added prefetch
+# buffers (the pre-round-5 replay backward peaked at 104.8MB). v5e VMEM
+# is 128MB/core; keep the limit at 112MB for ~24MB of measured headroom
 # rather than shrinking the batch.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=112 * 2**20)
 
 
 def vmem_estimate(batch: int, dim: int, n_save: int = 0) -> int:
-    """Rough peak-VMEM bound for the backward kernel: the traced vjp of
-    the stage algebra keeps ~16 batch-size arrays live (7 k's, hidden
-    activations, their cotangents), plus the aliased save buffer."""
+    """Peak-VMEM bound for the monolithic backward kernel, calibrated
+    against the round-5 Mosaic bisection (tools/probe_vmem_peak: the
+    flagship batch 512 x dim 784 gradient fits an 88MB scoped limit and
+    fails at 80MB, i.e. ~46 batch-row equivalents live: stage k's,
+    hidden activations, their cotangents, the double-buffered residual
+    prefetch blocks, and Mosaic's own copies), plus the aliased save
+    buffer."""
     row = batch * _pad128(dim) * 4
-    return 20 * row + n_save * row
+    return 46 * row + n_save * row
 
 
 def vmem_estimate_tiled(batch: int, dim: int, tile_rows: int = 64,

@@ -292,12 +292,16 @@ class TestModelRouting:
                                    atol=1e-7)
 
     def test_vmem_gates(self):
-        # With the raised scoped-VMEM limit (100MB) the 784-wide flagship
-        # fits the monolithic whole-solve (36.7MB working set); very
-        # large batches fall through to the tiled engine.
-        assert vmem_estimate(512, 784) <= 64 * 2**20
-        assert vmem_estimate(256, 20, 49) <= 64 * 2**20
-        assert vmem_estimate(1024, 784) > 64 * 2**20
+        # vmem_estimate is calibrated 1:1 against the round-5 Mosaic
+        # bisection (flagship gradient fits an 88MB scoped limit, fails
+        # at 80MB; estimate 80.5MB) and the model routing gates at 96MB
+        # under the 112MB hard limit: the 784-wide flagship and the
+        # latent saveat shape stay monolithic; very large batches fall
+        # through to the tiled engine.
+        assert 78 * 2**20 <= vmem_estimate(512, 784) <= 88 * 2**20
+        assert vmem_estimate(512, 784) <= 96 * 2**20
+        assert vmem_estimate(256, 20, 49) <= 96 * 2**20
+        assert vmem_estimate(1024, 784) > 96 * 2**20
         assert vmem_estimate_tiled(1024, 784, 128) <= 64 * 2**20
 
     def test_ffjord_whole_solve_matches_unfused(self):
