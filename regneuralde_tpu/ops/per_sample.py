@@ -44,6 +44,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from regneuralde_tpu.ops.ode import ODESolution, odeint
 
@@ -153,25 +154,36 @@ def odeint_per_sample(
     if engine == "batched":
         # Per-lane-controller engine: same semantics, one dense batched
         # program (no vmap'd per-lane buffer updates — 11-14x faster on
-        # the flagship shape, see ops.per_sample_batched). Scoped to
-        # single 2-D states; saveat (shared or per-sample grids) is a
-        # dense masked Hermite write.
+        # the flagship shape, see ops.per_sample_batched). 2-D states
+        # run directly; pytree states flatten to one dense (batch, D)
+        # state (exact — see _odeint_batched_pytree). saveat (shared or
+        # per-sample grids) is a dense masked Hermite write.
         from regneuralde_tpu.ops.per_sample_batched import (
             odeint_per_sample_batched,
         )
 
-        if not (hasattr(y0, "ndim") and y0.ndim == 2):
-            raise ValueError(
-                "engine='batched' needs a bare 2-D (batch, dim) state "
-                "array; use engine='vmap' for pytree states")
         mode = kwargs.pop("mode", None)
         if mode == "while":
             # The batched adjoint forward IS the early-exit while loop;
             # it just also carries a hand-written backward.
             mode = "adjoint"
-        return odeint_per_sample_batched(func, y0, t0, t1, args,
-                                         mode=mode or "adjoint",
-                                         saveat=saveat, **kwargs)
+        mode = mode or "adjoint"
+        if hasattr(y0, "ndim") and y0.ndim == 2:
+            return odeint_per_sample_batched(func, y0, t0, t1, args,
+                                             mode=mode,
+                                             saveat=saveat, **kwargs)
+        # Pytree states ride the engine through a flatten adapter
+        # (round 5): every leaf reshapes to (batch, -1) and concatenates
+        # into ONE dense (batch, D) state. Exact in exact arithmetic —
+        # the per-lane error scale is ELEMENTWISE
+        # (atol + max(|y0|,|y1|)*rtol, ops.norms.error_ratio) and the
+        # per-lane norm is an rms over ALL the lane's elements, both of
+        # which commute with concatenation. In f32 the summation ORDER
+        # differs (vmap sums leaf-by-leaf; the adapter reduces one row),
+        # so a borderline accept can flip and move a lane by one trial
+        # step (tests/test_per_sample.py::TestBatchedPytreeState).
+        return _odeint_batched_pytree(func, y0, t0, t1, args, batch,
+                                      mode=mode, saveat=saveat, **kwargs)
     if engine != "vmap":
         raise ValueError(f"engine must be 'vmap' or 'batched', got "
                          f"{engine!r}")
@@ -210,6 +222,55 @@ def odeint_per_sample(
         ts = sol.ts[0] if sa_axis is None else sol.ts
     return ODESolution(y1=y1, ys=ys, ts=ts, stats=sol.stats,
                        telemetry=sol.telemetry)
+
+
+def _odeint_batched_pytree(func, y0, t0, t1, args, batch, *, mode,
+                           saveat, **kwargs):
+    """Run a pytree state through the batched per-lane engine by
+    flattening it to one dense ``(batch, D)`` array (see the call site
+    for why this preserves the vmap engine's step sequence exactly).
+
+    Leaves must share one floating dtype (mixed-dtype states keep the
+    vmap engine — a concatenated state would silently promote)."""
+    from regneuralde_tpu.ops.per_sample_batched import (
+        odeint_per_sample_batched,
+    )
+
+    leaves, treedef = jax.tree_util.tree_flatten(y0)
+    shapes = [l.shape for l in leaves]
+    dtypes = {l.dtype for l in leaves}
+    if len(dtypes) > 1:
+        raise ValueError(
+            "engine='batched' pytree states need one common leaf dtype, "
+            f"got {sorted(str(d) for d in dtypes)}; use engine='vmap' "
+            "for mixed-dtype states")
+    sizes = [int(np.prod(s[1:], dtype=np.int64)) for s in shapes]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    def ravel(tree):
+        ls = treedef.flatten_up_to(tree)
+        return jnp.concatenate(
+            [l.reshape(batch, -1) for l in ls], axis=1)
+
+    def unravel(flat):
+        # flat: (..., batch, D) with any number of leading axes (none
+        # for y1, n_save for ys).
+        lead = flat.shape[:-1]
+        parts = [
+            flat[..., offsets[i]:offsets[i + 1]].reshape(
+                *lead, *shapes[i][1:])
+            for i in range(len(shapes))
+        ]
+        return treedef.unflatten(parts)
+
+    def func_flat(t, y_flat, a):
+        return ravel(func(t, unravel(y_flat), a))
+
+    sol = odeint_per_sample_batched(func_flat, ravel(y0), t0, t1, args,
+                                    mode=mode, saveat=saveat, **kwargs)
+    ys = None if sol.ys is None else unravel(sol.ys)
+    return ODESolution(y1=unravel(sol.y1), ys=ys, ts=sol.ts,
+                       stats=sol.stats, telemetry=sol.telemetry)
 
 
 def sdeint_per_sample(
