@@ -101,11 +101,6 @@ class NeuralODE:
                 "per_sample must be False, True or 'batched', got "
                 f"{per_sample!r}")
         self.per_sample = per_sample
-        if per_sample and fused:
-            raise ValueError(
-                "per_sample adaptive stepping is incompatible with fused "
-                "kernels — construct with fused=False"
-            )
         # Fused Pallas execution. Two granularities exist:
         #   "step"  — one kernel per trial step (the whole Tsit5 stage
         #             sweep VMEM-resident per batch tile; composes with
@@ -137,6 +132,22 @@ class NeuralODE:
                 "fused requires solver='tsit5' and MLPDynamics or "
                 "AlternatingMLP dynamics"
             )
+        # Per-sample + fused (round 5): the per-lane-controller batched
+        # engine rides a LANE-WISE fused stage sweep (per-lane t/dt
+        # columns through the same VMEM-resident Tsit5 kernel —
+        # ops.pallas_mlp.mlp_dynamics_sweep_lanes). MLPDynamics only (the
+        # one dynamics with a hand-written lane-wise kernel); the vmap
+        # engine and whole-solve granularities stay mutually exclusive
+        # with per-sample control (one shared controller is baked into
+        # their loop structure).
+        if per_sample and fused:
+            if not (per_sample == "batched" and isinstance(dynamics, _MLPD)):
+                raise ValueError(
+                    "fused per-sample stepping requires "
+                    "per_sample='batched' and MLPDynamics dynamics "
+                    "(lane-wise fused sweep); construct with fused=False "
+                    "otherwise"
+                )
         self.fused = fused
 
     def _whole_solve_parts(self, params):
@@ -214,10 +225,25 @@ class NeuralODE:
             from regneuralde_tpu.ops import odeint_per_sample
 
             if self.per_sample == "batched":
+                sweep_lanes = None
+                if self.fused:
+                    from regneuralde_tpu.ops.pallas_mlp import (
+                        fused_tiling_ok,
+                        mlp_dynamics_sweep_lanes,
+                    )
+
+                    # Same batch-tiling legality gate as the step-fused
+                    # global path; untileable batches (odd eval batch)
+                    # keep the traced sweep.
+                    if fused_tiling_ok(x.shape[0]):
+                        sweep_lanes = (
+                            lambda t, dt, y, k1, p:
+                            mlp_dynamics_sweep_lanes(t, dt, y, k1, p))
                 sol = odeint_per_sample(
                     self._func, x, t0, t1, params, engine="batched",
                     solver=self.solver, rtol=self.rtol, atol=self.atol,
                     max_steps=self.max_steps, saveat=saveat, mode=mode,
+                    stage_sweep_lanes=sweep_lanes,
                 )
             else:
                 sol = odeint_per_sample(

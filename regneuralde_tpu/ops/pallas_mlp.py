@@ -531,6 +531,397 @@ def mlp_dynamics_stage_sweep(t, dt, y, k1, params):
 
 
 # ---------------------------------------------------------------------------
+# Lane-wise fused trial step: per-lane (t, dt) columns.
+#
+# The per-sample batched engine (ops.per_sample_batched) advances every
+# batch row under its OWN controller, so each trial step has a (batch,)
+# vector of times and step sizes instead of one scalar pair. The stage
+# algebra is identical — t and dt simply broadcast as (batch, 1) columns
+# through the stage lincombs and the time-row rank-1 updates — so these
+# kernels are the scalar kernels above with the SMEM scalars replaced by
+# VMEM columns, and the scalar (t, dt) cotangent reductions replaced by
+# per-lane row reductions. This is what lets the fastest per-sample
+# engine ride the same fused stage sweep as the global engine (round 5;
+# previously `per_sample` and `fused` were mutually exclusive).
+# ---------------------------------------------------------------------------
+
+
+def _reference_sweep_lanes(tc, dtc, y, k1, parts):
+    """Plain-XLA lane-wise sweep (interpret-mode fallback + oracle).
+
+    ``tc``/``dtc`` are (batch, 1) columns; everything else matches
+    ``_reference_sweep``."""
+    tab = TSIT5
+    w1x, w1t, b1, w2h, w2t, b2 = parts
+    ks = [k1]
+    y_stage = y
+    for i in range(1, 7):
+        acc = sum(c * k for c, k in zip(tab.a[i - 1], ks) if c != 0.0)
+        y_stage = y + dtc * acc
+        ti = tc + tab.c[i] * dtc
+        ks.append(_mlp_k(y_stage, ti, w1x, w1t, b1, w2h, w2t, b2))
+        if i == 5:
+            g6 = y_stage
+    y_new = y_stage
+    err = dtc * sum(
+        c * (k - ks[0]) for c, k in zip(tab.btilde[1:], ks[1:])
+    )
+    return y_new, ks[-1], err, ks[-2], g6
+
+
+def _fused_step_kernel_lanes(
+    tc_ref, dtc_ref,  # (Bt, 1) VMEM columns
+    y_ref, k1_ref,    # (Bt, D) VMEM
+    w1x_ref, w1t_ref, b1_ref, w2h_ref, w2t_ref, b2_ref,
+    ynew_ref, k7_ref, err_ref, k6_ref, g6_ref,
+):
+    tab = TSIT5
+    tc = tc_ref[:]
+    dtc = dtc_ref[:]
+    y = y_ref[:]
+    w1x = w1x_ref[:]
+    w1t = w1t_ref[:]
+    b1 = b1_ref[:]
+    w2h = w2h_ref[:]
+    w2t = w2t_ref[:]
+    b2 = b2_ref[:]
+
+    ks = [k1_ref[:]]
+    y_stage = y
+    for i in range(1, 7):
+        acc = tab.a[i - 1][0] * ks[0]
+        for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+            if c != 0.0:
+                acc = acc + c * k
+        y_stage = y + dtc * acc
+        ti = tc + tab.c[i] * dtc
+        ks.append(_mlp_k(y_stage, ti, w1x, w1t, b1, w2h, w2t, b2))
+        if i == 5:
+            g6_ref[:] = y_stage
+        if i == 6 - 1:
+            k6_ref[:] = ks[-1]
+
+    ynew_ref[:] = y_stage  # b row == last a row (FSAL)
+    k7_ref[:] = ks[-1]
+    err = tab.btilde[1] * (ks[1] - ks[0])
+    for c, k in zip(tab.btilde[2:], ks[2:]):
+        err = err + c * (k - ks[0])
+    err_ref[:] = dtc * err
+
+
+# Lane-wise kernels run one launch per trial step inside the engine's
+# while_loop, so sequential batch tiles inside a launch are pure added
+# latency (the round-3 whole-solve lesson). Use ONE tile whenever the
+# working set fits a raised scoped-VMEM limit (v5e: 128MB/core), falling
+# back to standard tiling for larger batches.
+_LANES_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+
+def _lanes_block(batch: int, dim: int, arrays: int, target: int) -> int:
+    """Largest tile whose ``arrays`` live (tile, dim) f32 blocks fit
+    ~60MB of the raised limit (leaving ~40MB for weights, hidden-width
+    blocks, and Mosaic's own copies), halving from whole-batch; the
+    standard tiling is the floor."""
+    row_bytes = (-(-dim // 128) * 128) * 4  # lane-padded f32 row
+    bt = batch
+    while bt > target and bt % 8 == 0 and batch % bt == 0:
+        if arrays * bt * row_bytes <= 60 * 2**20:
+            return bt
+        bt //= 2
+    return _pick_block(batch, target)
+
+
+def _pallas_sweep_lanes(tc, dtc, y, k1, parts, block_batch: int = 128):
+    if _interpret_under_shard_map(y):
+        return _reference_sweep_lanes(tc, dtc, y, k1, parts)
+    batch, dim = y.shape
+    bt = _lanes_block(batch, dim, arrays=20, target=block_batch)
+    grid = (pl.cdiv(batch, bt),)
+    w1x, w1t, b1, w2h, w2t, b2 = parts
+    hidden = w1x.shape[1]
+
+    (w1x, w1t, b1, w2h, w2t, b2) = _pvary_like(
+        y, w1x, w1t, b1, w2h, w2t, b2)
+
+    row_spec = pl.BlockSpec((bt, dim), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _fused_step_kernel_lanes,
+        grid=grid,
+        in_specs=[
+            col_spec, col_spec,
+            row_spec, row_spec,
+            full((dim, hidden)),
+            full((1, hidden)),
+            full((1, hidden)),
+            full((hidden, dim)),
+            full((1, dim)),
+            full((1, dim)),
+        ],
+        out_specs=[row_spec] * 5,
+        out_shape=[_vma_struct((batch, dim), y.dtype, y)] * 5,
+        compiler_params=_LANES_COMPILER_PARAMS,
+        interpret=jax.default_backend() == "cpu",
+    )(tc, dtc, y, k1, w1x, w1t, b1, w2h, w2t, b2)
+    return tuple(out)
+
+
+def _fused_bwd_kernel_lanes(
+    tc_ref, dtc_ref,  # (Bt, 1) VMEM columns
+    y_ref, k1_ref,
+    w1x_ref, w1t_ref, b1_ref, w2h_ref, w2t_ref, b2_ref,
+    cyn_ref, ck7_ref, cerr_ref, ck6_ref, cg6_ref,
+    # outputs
+    cy_ref, ck1_ref,
+    cw1x_ref, cw1t_ref, cb1_ref, cw2h_ref, cw2t_ref, cb2_ref,
+    ctc_ref, cdtc_ref,  # (Bt, 1) per-lane cotangent columns
+):
+    """Lane-wise fused backward: the scalar kernel's (t, dt) cotangent
+    scalars become per-lane columns (each lane's time/step-size feeds
+    only its own row), and the time-row weight cotangents contract the
+    per-lane ti column against the pre-activation cotangents over the
+    batch axis instead of scaling a row sum."""
+    tab = TSIT5
+    tc = tc_ref[:]
+    dtc = dtc_ref[:]
+    y = y_ref[:]
+    w1x = w1x_ref[:]
+    w1t = w1t_ref[:]
+    b1 = b1_ref[:]
+    w2h = w2h_ref[:]
+    w2t = w2t_ref[:]
+    b2 = b2_ref[:]
+
+    # ---- forward recompute, keeping stage values live in VMEM ----
+    ks = [k1_ref[:]]
+    yis, hs = [], []
+    for i in range(1, 7):
+        acc = tab.a[i - 1][0] * ks[0]
+        for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+            if c != 0.0:
+                acc = acc + c * k
+        yi = y + dtc * acc
+        ti = tc + tab.c[i] * dtc
+        pre1 = jnp.dot(yi, w1x, preferred_element_type=jnp.float32,
+                       precision=_DOT_PRECISION) + ti * w1t + b1
+        h = _tanh(pre1)
+        pre2 = jnp.dot(h, w2h, preferred_element_type=jnp.float32,
+                       precision=_DOT_PRECISION) + ti * w2t + b2
+        ks.append(_tanh(pre2))
+        yis.append(yi)
+        hs.append(h)
+
+    cerr = cerr_ref[:]
+    # ---- seed cotangents ----
+    ct_ks = [tab.btilde[j] * (dtc * cerr) for j in range(7)]
+    ct_ks[6] = ct_ks[6] + ck7_ref[:]
+    ct_ks[5] = ct_ks[5] + ck6_ref[:]
+    ct_yi_seed = {6: cyn_ref[:], 5: cg6_ref[:]}
+
+    s_comb = tab.btilde[1] * (ks[1] - ks[0])
+    for c, k in zip(tab.btilde[2:], ks[2:]):
+        s_comb = s_comb + c * (k - ks[0])
+    ct_dt = jnp.sum(cerr * s_comb, axis=1, keepdims=True)   # (Bt, 1)
+    ct_t = jnp.zeros_like(ct_dt)
+    ct_y = jnp.zeros_like(y)
+    cw1x = jnp.zeros_like(w1x)
+    cw1t = jnp.zeros_like(w1t)
+    cb1 = jnp.zeros_like(b1)
+    cw2h = jnp.zeros_like(w2h)
+    cw2t = jnp.zeros_like(w2t)
+    cb2 = jnp.zeros_like(b2)
+
+    contract_batch = (((0,), (0,)), ((), ()))
+    for i in range(6, 0, -1):
+        k_i = ks[i]
+        h_i = hs[i - 1]
+        yi = yis[i - 1]
+        ti = tc + tab.c[i] * dtc                            # (Bt, 1)
+
+        ct_pre2 = ct_ks[i] * (1.0 - k_i * k_i)
+        cw2h = cw2h + jax.lax.dot_general(
+            h_i, ct_pre2, contract_batch,
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION,
+        )
+        # w2t row cotangent: sum_b ti_b * ct_pre2[b, :] — a (1, Bt) x
+        # (Bt, D) contraction over the batch axis.
+        cw2t = cw2t + jax.lax.dot_general(
+            ti, ct_pre2, contract_batch,
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION,
+        )
+        cb2 = cb2 + jnp.sum(ct_pre2, axis=0, keepdims=True)
+        ct_ti = jnp.sum(ct_pre2 * w2t, axis=1, keepdims=True)
+
+        ct_h = jax.lax.dot_general(
+            ct_pre2, w2h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION,
+        )
+        ct_pre1 = ct_h * (1.0 - h_i * h_i)
+        cw1x = cw1x + jax.lax.dot_general(
+            yi, ct_pre1, contract_batch,
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION,
+        )
+        cw1t = cw1t + jax.lax.dot_general(
+            ti, ct_pre1, contract_batch,
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION,
+        )
+        cb1 = cb1 + jnp.sum(ct_pre1, axis=0, keepdims=True)
+        ct_ti = ct_ti + jnp.sum(ct_pre1 * w1t, axis=1, keepdims=True)
+
+        ct_yi = ct_yi_seed.get(i, 0.0) + jax.lax.dot_general(
+            ct_pre1, w1x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PRECISION,
+        )
+        ct_y = ct_y + ct_yi
+        acc = tab.a[i - 1][0] * ks[0]
+        for c, k in zip(tab.a[i - 1][1:], ks[1:]):
+            if c != 0.0:
+                acc = acc + c * k
+        ct_dt = (ct_dt + jnp.sum(ct_yi * acc, axis=1, keepdims=True)
+                 + tab.c[i] * ct_ti)
+        ct_t = ct_t + ct_ti
+        for j, c in enumerate(tab.a[i - 1]):
+            if c != 0.0:
+                ct_ks[j] = ct_ks[j] + (dtc * c) * ct_yi
+
+    cy_ref[:] = ct_y
+    ck1_ref[:] = ct_ks[0]
+    ctc_ref[:] = ct_t
+    cdtc_ref[:] = ct_dt
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        cw1x_ref[:] = cw1x
+        cw1t_ref[:] = cw1t
+        cb1_ref[:] = cb1
+        cw2h_ref[:] = cw2h
+        cw2t_ref[:] = cw2t
+        cb2_ref[:] = cb2
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        cw1x_ref[:] = cw1x_ref[:] + cw1x
+        cw1t_ref[:] = cw1t_ref[:] + cw1t
+        cb1_ref[:] = cb1_ref[:] + cb1
+        cw2h_ref[:] = cw2h_ref[:] + cw2h
+        cw2t_ref[:] = cw2t_ref[:] + cw2t
+        cb2_ref[:] = cb2_ref[:] + cb2
+
+
+def _pallas_bwd_lanes(tc, dtc, y, k1, parts, cotangents,
+                      block_batch: int = 64):
+    if _interpret_under_shard_map(y):
+        with jax.default_matmul_precision("highest"):
+            _, vjp_fn = jax.vjp(_reference_sweep_lanes, tc, dtc, y, k1,
+                                parts)
+            return vjp_fn(cotangents)
+    batch, dim = y.shape
+    bt = _lanes_block(batch, dim, arrays=34, target=block_batch)
+    grid = (pl.cdiv(batch, bt),)
+    w1x, w1t, b1, w2h, w2t, b2 = parts
+    hidden = w1x.shape[1]
+    cyn, ck7, cerr, ck6, cg6 = cotangents
+
+    (w1x, w1t, b1, w2h, w2t, b2) = _pvary_like(
+        y, w1x, w1t, b1, w2h, w2t, b2)
+
+    row_spec = pl.BlockSpec((bt, dim), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        _fused_bwd_kernel_lanes,
+        grid=grid,
+        in_specs=[
+            col_spec, col_spec,
+            row_spec, row_spec,
+            full((dim, hidden)), full((1, hidden)), full((1, hidden)),
+            full((hidden, dim)), full((1, dim)), full((1, dim)),
+            row_spec, row_spec, row_spec, row_spec, row_spec,
+        ],
+        out_specs=[
+            row_spec, row_spec,
+            full((dim, hidden)), full((1, hidden)), full((1, hidden)),
+            full((hidden, dim)), full((1, dim)), full((1, dim)),
+            col_spec, col_spec,
+        ],
+        out_shape=[
+            _vma_struct((batch, dim), y.dtype, y),
+            _vma_struct((batch, dim), y.dtype, y),
+            _vma_struct((dim, hidden), f32, y),
+            _vma_struct((1, hidden), f32, y),
+            _vma_struct((1, hidden), f32, y),
+            _vma_struct((hidden, dim), f32, y),
+            _vma_struct((1, dim), f32, y),
+            _vma_struct((1, dim), f32, y),
+            _vma_struct((batch, 1), f32, y),
+            _vma_struct((batch, 1), f32, y),
+        ],
+        compiler_params=_LANES_COMPILER_PARAMS,
+        interpret=jax.default_backend() == "cpu",
+    )(tc, dtc, y, k1, w1x, w1t, b1, w2h, w2t, b2, cyn, ck7, cerr, ck6, cg6)
+
+    cy, ck1, cw1x, cw1t, cb1, cw2h, cw2t, cb2, ctc, cdtc = out
+    (cw1x, cw1t, cb1, cw2h, cw2t, cb2) = _psum_cts(
+        y, cw1x, cw1t, cb1, cw2h, cw2t, cb2)
+    cparts = (cw1x, cw1t, cb1, cw2h, cw2t, cb2)
+    return ctc.astype(tc.dtype), cdtc.astype(dtc.dtype), cy, ck1, cparts
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _fused_step_lanes(tc, dtc, y, k1, parts):
+    return _pallas_sweep_lanes(tc, dtc, y, k1, parts)
+
+
+def _fused_step_lanes_fwd(tc, dtc, y, k1, parts):
+    return _pallas_sweep_lanes(tc, dtc, y, k1, parts), (tc, dtc, y, k1,
+                                                        parts)
+
+
+def _fused_step_lanes_bwd(residuals, cotangents):
+    tc, dtc, y, k1, parts = residuals
+    if USE_PALLAS_BWD:
+        return _pallas_bwd_lanes(tc, dtc, y, k1, parts, cotangents)
+    with jax.default_matmul_precision("highest"):
+        _, vjp_fn = jax.vjp(_reference_sweep_lanes, tc, dtc, y, k1, parts)
+        return vjp_fn(cotangents)
+
+
+_fused_step_lanes.defvjp(_fused_step_lanes_fwd, _fused_step_lanes_bwd)
+
+
+def mlp_dynamics_sweep_lanes(t, dt, y, k1, params):
+    """Lane-wise ``stage_sweep`` for the per-sample batched engine
+    (``ops.per_sample_batched``): the fused Tsit5 trial step over
+    ``models.basic.MLPDynamics`` params with per-lane times and step
+    sizes. ``t``/``dt`` are ``(batch,)`` vectors; returns
+    ``(y_new, k7, err, k6, g6)`` with every row advanced at its own
+    ``(t_i, dt_i)``."""
+    tc = t.astype(jnp.float32)[:, None]
+    dtc = dt.astype(jnp.float32)[:, None]
+    y_new, k7, err, k6, g6 = _fused_step_lanes(
+        tc, dtc, y, k1, _split_params(params))
+    return y_new, k7, err, k6, g6
+
+
+# ---------------------------------------------------------------------------
 # Normed trial step: error/stiffness norms reduced in-kernel.
 #
 # The plain fused step still writes three full-size arrays (err, k6, g6) to

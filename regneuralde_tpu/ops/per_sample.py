@@ -182,11 +182,21 @@ def odeint_per_sample(
         # differs (vmap sums leaf-by-leaf; the adapter reduces one row),
         # so a borderline accept can flip and move a lane by one trial
         # step (tests/test_per_sample.py::TestBatchedPytreeState).
+        if kwargs.get("stage_sweep_lanes") is not None:
+            raise ValueError(
+                "stage_sweep_lanes runs the dynamics directly on the 2-D "
+                "state; pytree states take the generic traced sweep")
+        kwargs.pop("stage_sweep_lanes", None)
         return _odeint_batched_pytree(func, y0, t0, t1, args, batch,
                                       mode=mode, saveat=saveat, **kwargs)
     if engine != "vmap":
         raise ValueError(f"engine must be 'vmap' or 'batched', got "
                          f"{engine!r}")
+    if kwargs.get("stage_sweep_lanes") is not None:
+        raise ValueError(
+            "stage_sweep_lanes is a batched-engine fused sweep; "
+            "engine='vmap' runs the generic per-lane solve")
+    kwargs.pop("stage_sweep_lanes", None)
 
     # Each lane keeps a singleton batch axis so batched dynamics modules
     # (which concatenate time rows, run (batch, feat) matmuls, ...) work

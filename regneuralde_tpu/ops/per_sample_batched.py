@@ -114,7 +114,8 @@ def _per_lane_initial_dt(func, t0, y0, f0, args, order, rtol, atol, t1):
     return tdir * dt, f1
 
 
-def _make_step_core(func, tab, ctrl, rtol, atol, has_saveat):
+def _make_step_core(func, tab, ctrl, rtol, atol, has_saveat,
+                    stage_sweep_lanes=None):
     """One per-lane-controlled trial step on the full batch.
 
     Returns ``core(t, dt, qold, y, f0c, done, ys_buf, t0v, t1v, saveat,
@@ -126,6 +127,12 @@ def _make_step_core(func, tab, ctrl, rtol, atol, has_saveat):
     otherwise ``ys_buf`` is ``(batch, n_save, dim)`` (internal layout —
     the batch-major write is one dense fused ``where``) and ``saveat``
     is ``(batch, n_save)``.
+
+    ``stage_sweep_lanes``, when given, replaces the traced stage loop
+    with a fused lane-wise kernel (``(t, dt_eff, y, f0c, args) ->
+    (y_new, k7, err, k6, g6)`` with per-lane ``(batch,)`` times/steps —
+    ``ops.pallas_mlp.mlp_dynamics_sweep_lanes``). The kernel carries its
+    own custom_vjp, so both gradient modes differentiate through it.
     """
     n_stages = tab.num_stages
 
@@ -139,35 +146,44 @@ def _make_step_core(func, tab, ctrl, rtol, atol, has_saveat):
         dt_eff = jnp.where(is_last, remaining, dt)
         de = dt_eff[:, None]
 
-        # FSAL stage sweep on the full batch; per-lane dt/t broadcast as
-        # columns. Accumulation order matches ops.norms.tree_lincomb
-        # (k-combination first, one dt multiply, zero coeffs skipped) and
-        # the btilde terms are differenced against k1 (the same f32
-        # cancellation fix as ops.ode's generic_sweep) so the per-lane
-        # controller sees the same EEst roundoff as the vmap engine.
-        def lincomb(base, coeffs, kl):
-            nz = [(c, k) for c, k in zip(coeffs, kl) if c != 0.0]
-            if not nz:
-                return base
-            acc = nz[0][0] * nz[0][1]
-            for c_ij, kj in nz[1:]:
-                acc = acc + c_ij * kj
-            return base + de * acc
+        if stage_sweep_lanes is not None:
+            # Fused lane-wise kernel: the whole FSAL sweep (stage
+            # lincombs, per-stage dynamics with per-lane time columns,
+            # regrouped embedded error) in one VMEM-resident pass.
+            y_new, k_last, err, k_prev, g_prev = stage_sweep_lanes(
+                t, dt_eff, y, f0c, args)
+        else:
+            # FSAL stage sweep on the full batch; per-lane dt/t broadcast
+            # as columns. Accumulation order matches ops.norms.tree_lincomb
+            # (k-combination first, one dt multiply, zero coeffs skipped)
+            # and the btilde terms are differenced against k1 (the same
+            # f32 cancellation fix as ops.ode's generic_sweep) so the
+            # per-lane controller sees the same EEst roundoff as the vmap
+            # engine.
+            def lincomb(base, coeffs, kl):
+                nz = [(c, k) for c, k in zip(coeffs, kl) if c != 0.0]
+                if not nz:
+                    return base
+                acc = nz[0][0] * nz[0][1]
+                for c_ij, kj in nz[1:]:
+                    acc = acc + c_ij * kj
+                return base + de * acc
 
-        ks = [f0c]
-        y_stage = y
-        for i in range(1, n_stages):
-            y_stage = lincomb(y, tab.a[i - 1], ks)
-            ks.append(func(t + tab.c[i] * dt_eff, y_stage, args))
-        y_new = y_stage  # b row == last a row (FSAL)
-        g_prev = lincomb(y, tab.a[n_stages - 3], ks[: n_stages - 2])
+            ks = [f0c]
+            y_stage = y
+            for i in range(1, n_stages):
+                y_stage = lincomb(y, tab.a[i - 1], ks)
+                ks.append(func(t + tab.c[i] * dt_eff, y_stage, args))
+            y_new = y_stage  # b row == last a row (FSAL)
+            g_prev = lincomb(y, tab.a[n_stages - 3], ks[: n_stages - 2])
+            k_last, k_prev = ks[-1], ks[-2]
 
-        err = de * sum(
-            c * (kl - ks[0]) for c, kl in zip(tab.btilde[1:], ks[1:]))
+            err = de * sum(
+                c * (kl - ks[0]) for c, kl in zip(tab.btilde[1:], ks[1:]))
         scaled = err / (atol + jnp.maximum(jnp.abs(y), jnp.abs(y_new)) * rtol)
         eest = _row_norm(scaled)
 
-        eig_num = _row_norm(ks[-1] - ks[-2])
+        eig_num = _row_norm(k_last - k_prev)
         eig_den = _row_norm(y_new - g_prev)
         eigen_est = jnp.where(eig_den > 0,
                               eig_num / jnp.maximum(eig_den, 1e-30), 0.0)
@@ -180,7 +196,7 @@ def _make_step_core(func, tab, ctrl, rtol, atol, has_saveat):
         t_new = jnp.where(upd, jnp.where(is_last, t1v, t + dt_eff), t)
         done_new = done | (accept & is_last & live)
         y_out = jnp.where(upd[:, None], y_new, y)
-        f0_out = jnp.where(upd[:, None], ks[-1], f0c)
+        f0_out = jnp.where(upd[:, None], k_last, f0c)
         dt_out = jnp.where(live, dt_next, dt)
         qold_out = jnp.where(live, qold_next, qold)
 
@@ -201,7 +217,7 @@ def _make_step_core(func, tab, ctrl, rtol, atol, has_saveat):
             yi = ((1 - th) * yb + th * ynb
                   + th * (th - 1) * ((1 - 2 * th) * dy
                                      + (th - 1) * hh * f0c[:, None, :]
-                                     + th * hh * ks[-1][:, None, :]))
+                                     + th * hh * k_last[:, None, :]))
             ys_out = jnp.where(win[:, :, None], yi, ys_buf)
 
         zero = jnp.zeros_like(t)
@@ -407,6 +423,7 @@ def odeint_per_sample_batched(
     controller: Optional[PIController] = None,
     remat: bool = True,
     matmul_precision: Optional[str] = "highest",
+    stage_sweep_lanes: Optional[Callable] = None,
 ) -> ODESolution:
     """Integrate every batch row under its own adaptive controller, as
     one dense batched program (see module docstring).
@@ -431,17 +448,22 @@ def odeint_per_sample_batched(
         raise ValueError(
             f"mode must be 'adjoint' or 'scan' for the batched per-sample "
             f"engine, got {mode!r} (engine='vmap' also offers 'while')")
+    if stage_sweep_lanes is not None and solver != "tsit5":
+        raise ValueError(
+            "stage_sweep_lanes implements the Tsit5 stage algebra; "
+            f"got solver={solver!r}")
     if matmul_precision is not None:
         with jax.default_matmul_precision(matmul_precision):
             return _run(func, y0, t0, t1, args, solver, rtol, atol, dt0,
                         max_steps, mode, saveat, controller, remat,
-                        matmul_precision)
+                        matmul_precision, stage_sweep_lanes)
     return _run(func, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps,
-                mode, saveat, controller, remat, None)
+                mode, saveat, controller, remat, None, stage_sweep_lanes)
 
 
 def _run(func, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps, mode,
-         saveat, controller, remat, matmul_precision):
+         saveat, controller, remat, matmul_precision,
+         stage_sweep_lanes=None):
     y0 = jnp.asarray(y0)
     if y0.ndim != 2:
         raise ValueError(
@@ -490,7 +512,8 @@ def _run(func, y0, t0, t1, args, solver, rtol, atol, dt0, max_steps, mode,
         nfe_init = 1
 
     has_saveat = not isinstance(saveat, tuple)
-    core = _make_step_core(func, tab, ctrl, rtol, atol, has_saveat)
+    core = _make_step_core(func, tab, ctrl, rtol, atol, has_saveat,
+                           stage_sweep_lanes)
     n_stages = tab.num_stages
 
     if mode == "adjoint":

@@ -884,3 +884,108 @@ class TestBatchedPytreeState:
             pytest.skip("x64 disabled; dtypes coincide")
         with pytest.raises(ValueError, match="common leaf dtype"):
             odeint_per_sample(f, y0, 0.0, 1.0, w, engine="batched", **kw)
+
+
+class TestBatchedFusedSweep:
+    """The batched per-lane engine riding the LANE-WISE fused stage sweep
+    (round 5, ops.pallas_mlp.mlp_dynamics_sweep_lanes): per-lane t/dt
+    columns through the same VMEM-resident Tsit5 kernel the global
+    step-fused path uses. NeuralODE(per_sample='batched', fused=True) —
+    previously per_sample and fused were mutually exclusive.
+
+    On CPU the kernels run in Pallas interpret mode; on-device behavior
+    (compiled Mosaic, grads bitwise adjoint-vs-scan, 63/64 lanes
+    NFE-equal to the traced sweep at (64, 64)) is pinned by
+    tools/probe_lanes_tpu + the r5 evidence."""
+
+    def _setup(self, batch=8, dim=8, hidden=6):
+        m = MLPDynamics(dim=dim, hidden=hidden)
+        x = jax.random.normal(jax.random.PRNGKey(0), (batch, dim)) * 0.5
+        kw = dict(rtol=1e-4, atol=1e-4, max_steps=64)
+        node_f = NeuralODE(m, per_sample="batched", fused=True, **kw)
+        node_u = NeuralODE(m, per_sample="batched", **kw)
+        p = node_f.init(jax.random.PRNGKey(1), x)
+        return node_f, node_u, x, p
+
+    def test_lane_parity_vs_traced_sweep(self):
+        node_f, node_u, x, p = self._setup()
+        out_f, out_u = node_f(p, x), node_u(p, x)
+        # The kernel's accumulation order differs from the model apply's
+        # concat matmul ([y, t] @ W vs y @ Wx + t*wt) by f32 ulps, so a
+        # borderline accept can flip one trial step on isolated lanes —
+        # the same class as the pytree flatten adapter. Most lanes must
+        # agree exactly.
+        dn = np.abs(np.asarray(out_f.nfe) - np.asarray(out_u.nfe))
+        assert dn.max() <= 6, dn
+        assert (dn == 0).sum() >= x.shape[0] // 2, dn
+        np.testing.assert_allclose(np.asarray(out_f.value),
+                                   np.asarray(out_u.value),
+                                   rtol=3e-3, atol=1e-4)
+
+    def test_adjoint_grads_match_scan_same_program(self):
+        node_f, _, x, p = self._setup()
+
+        def loss(p, mode):
+            out = node_f(p, x, mode=mode)
+            return (jnp.sum(out.value ** 2)
+                    + 0.3 * reg.error_estimate(out.telemetry, agg="mean"))
+
+        ga = jax.grad(lambda p: loss(p, "adjoint"))(p)
+        gs = jax.grad(lambda p: loss(p, "scan"))(p)
+        # Same program, same kernel custom_vjp: only the loop transcript
+        # machinery differs, so agreement is tight (bitwise on-device).
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-6)
+
+    def test_grads_match_traced_engine(self):
+        node_f, node_u, x, p = self._setup()
+
+        def loss(p, node):
+            out = node(p, x, mode="scan")
+            return (jnp.sum(out.value ** 2)
+                    + 0.3 * reg.error_estimate(out.telemetry, agg="mean"))
+
+        gf = jax.grad(lambda p: loss(p, node_f))(p)
+        gu = jax.grad(lambda p: loss(p, node_u))(p)
+        fa = np.concatenate([np.asarray(l).ravel()
+                             for l in jax.tree_util.tree_leaves(gf)])
+        fb = np.concatenate([np.asarray(l).ravel()
+                             for l in jax.tree_util.tree_leaves(gu)])
+        cos = float(fa @ fb / (np.linalg.norm(fa) * np.linalg.norm(fb)))
+        # A flipped borderline step on one lane moves that lane's reg
+        # stream, so compare by direction, not elementwise.
+        assert cos > 0.999, cos
+
+    def test_saveat_through_fused_sweep(self):
+        node_f, node_u, x, p = self._setup()
+        sa = jnp.linspace(0.0, 1.0, 5)
+        of = node_f(p, x, saveat=sa)
+        ou = node_u(p, x, saveat=sa)
+        assert of.value.shape == (x.shape[0], 5, x.shape[1])
+        np.testing.assert_allclose(np.asarray(of.value),
+                                   np.asarray(ou.value),
+                                   rtol=3e-3, atol=1e-4)
+
+    def test_untileable_batch_keeps_traced_sweep(self):
+        # batch 9: fused_tiling_ok -> one whole-batch block is legal at
+        # this size, so the kernel still runs; the routing just must not
+        # error anywhere in the stack.
+        node_f, _, _, p = self._setup()
+        x9 = jax.random.normal(jax.random.PRNGKey(2), (9, 8)) * 0.5
+        o9 = node_f(p, x9)
+        assert np.isfinite(np.asarray(o9.value)).all()
+
+    def test_vmap_engine_rejects_lanes_sweep(self):
+        with pytest.raises(ValueError, match="per_sample='batched'"):
+            NeuralODE(MLPDynamics(dim=8, hidden=6), per_sample=True,
+                      fused=True, rtol=1e-4, atol=1e-4)
+
+    def test_non_mlp_dynamics_rejected(self):
+        from regneuralde_tpu.models import AlternatingMLP
+
+        with pytest.raises(ValueError, match="MLPDynamics"):
+            NeuralODE(AlternatingMLP(dim=8, hidden=6, depth=2),
+                      time_dep=False, per_sample="batched", fused=True,
+                      rtol=1e-4, atol=1e-4)

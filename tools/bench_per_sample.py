@@ -65,7 +65,16 @@ def main():
         "per_sample_batched": dict(fused=False, per_sample="batched"),
         "per_sample_batched_scan": dict(fused=False, per_sample="batched",
                                         mode="scan"),
+        # round 5: the batched engine riding the LANE-WISE fused stage
+        # sweep (per-lane t/dt columns through the VMEM-resident Tsit5
+        # kernel, ops.pallas_mlp.mlp_dynamics_sweep_lanes).
+        "per_sample_batched_fused": dict(fused=True, per_sample="batched"),
     }
+    import os
+    legs = os.environ.get("REGNDE_PS_LEGS")
+    if legs:
+        keep = set(legs.split(","))
+        variants = {n: kw for n, kw in variants.items() if n in keep}
     fns, nfes = {}, {}
     for name, kw in variants.items():
         kw = dict(kw)
@@ -104,31 +113,43 @@ def main():
         out[n + "_samples_per_sec"] = round(B / med * 1e3, 1)
         out[n + "_spread"] = round(
             float(np.max(times[n]) - np.min(times[n])), 3)
-    ps = nfes["per_sample"].astype(np.float64)
-    out["nfe_global"] = int(nfes["global"].max())
-    out["nfe_per_sample"] = {
-        "mean": round(float(ps.mean()), 1),
-        "p50": int(np.median(ps)),
-        "min": int(ps.min()),
-        "max": int(ps.max()),
-    }
-    out["per_sample_vs_global"] = round(
-        out["per_sample_ms"] / out["global_ms"], 2)
-    out["per_sample_vs_global_unfused"] = round(
-        out["per_sample_ms"] / out["global_unf_ms"], 2)
-    pb = nfes["per_sample_batched"].astype(np.float64)
-    out["nfe_per_sample_batched"] = {
-        "mean": round(float(pb.mean()), 1),
-        "p50": int(np.median(pb)),
-        "min": int(pb.min()),
-        "max": int(pb.max()),
-    }
-    out["per_sample_batched_vs_global"] = round(
-        out["per_sample_batched_ms"] / out["global_ms"], 2)
-    out["batched_vs_vmap_speedup"] = round(
-        out["per_sample_ms"] / out["per_sample_batched_ms"], 2)
-    out["adjoint_vs_scan_speedup"] = round(
-        out["per_sample_batched_scan_ms"] / out["per_sample_batched_ms"], 2)
+
+    def dist(name):
+        v = nfes[name].astype(np.float64)
+        return {"mean": round(float(v.mean()), 1), "p50": int(np.median(v)),
+                "min": int(v.min()), "max": int(v.max())}
+
+    if "global" in fns:
+        out["nfe_global"] = int(nfes["global"].max())
+    if "per_sample" in fns:
+        out["nfe_per_sample"] = dist("per_sample")
+        if "global" in fns:
+            out["per_sample_vs_global"] = round(
+                out["per_sample_ms"] / out["global_ms"], 2)
+        if "global_unf" in fns:
+            out["per_sample_vs_global_unfused"] = round(
+                out["per_sample_ms"] / out["global_unf_ms"], 2)
+    if "per_sample_batched" in fns:
+        out["nfe_per_sample_batched"] = dist("per_sample_batched")
+        if "global" in fns:
+            out["per_sample_batched_vs_global"] = round(
+                out["per_sample_batched_ms"] / out["global_ms"], 2)
+        if "per_sample" in fns:
+            out["batched_vs_vmap_speedup"] = round(
+                out["per_sample_ms"] / out["per_sample_batched_ms"], 2)
+        if "per_sample_batched_scan" in fns:
+            out["adjoint_vs_scan_speedup"] = round(
+                out["per_sample_batched_scan_ms"]
+                / out["per_sample_batched_ms"], 2)
+    if "per_sample_batched_fused" in fns:
+        out["nfe_per_sample_batched_fused"] = dist("per_sample_batched_fused")
+        if "global" in fns:
+            out["per_sample_batched_fused_vs_global"] = round(
+                out["per_sample_batched_fused_ms"] / out["global_ms"], 2)
+        if "per_sample_batched" in fns:
+            out["fused_vs_traced_batched_speedup"] = round(
+                out["per_sample_batched_ms"]
+                / out["per_sample_batched_fused_ms"], 2)
     print(json.dumps(out))
 
 
