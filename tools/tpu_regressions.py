@@ -233,6 +233,47 @@ def per_sample_batched_on_device():
                                rtol=2e-4, atol=1e-5)
 
 
+def per_sample_fused_lanes_on_device():
+    """The lane-wise fused stage sweep (round 5) on the real chip:
+    NeuralODE(per_sample='batched', fused=True) must track the traced
+    batched engine per lane (borderline accepts may flip one trial
+    step on accumulation-order ulps) and its adjoint gradients must
+    match the scan transcript of the SAME program bitwise-tight.
+    Guards the lane-wise kernels' Mosaic lowering and their baked
+    matmul precision (the bf16-EEst class on a third surface)."""
+    from regneuralde_tpu.models import MLPDynamics, NeuralODE
+    from regneuralde_tpu import reg
+
+    B, D, H = 64, 64, 32
+    m = MLPDynamics(dim=D, hidden=H)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, D)) * 0.5
+    kw = dict(rtol=1e-6, atol=1e-6, max_steps=64)
+    node_f = NeuralODE(m, per_sample="batched", fused=True, **kw)
+    node_u = NeuralODE(m, per_sample="batched", **kw)
+    p = node_f.init(jax.random.PRNGKey(1), x)
+
+    nf = np.asarray(jax.jit(lambda p: node_f(p, x).nfe)(p))
+    nu = np.asarray(jax.jit(lambda p: node_u(p, x).nfe)(p))
+    dn = np.abs(nf - nu)
+    assert dn.max() <= 6 and (dn == 0).sum() >= B // 2, (nf, nu)
+    assert nf.max() < 2 + 6 * kw["max_steps"], "fused lanes capped"
+
+    def loss(p, mode):
+        out = node_f(p, x, mode=mode)
+        return (jnp.sum(out.value ** 2)
+                + 10.0 * reg.error_estimate(out.telemetry, agg="mean"))
+
+    ga = jax.jit(jax.grad(lambda p: loss(p, "adjoint")))(p)
+    gs = jax.jit(jax.grad(lambda p: loss(p, "scan")))(p)
+    la = np.concatenate([np.asarray(l).ravel()
+                         for l in jax.tree_util.tree_leaves(ga)])
+    ls = np.concatenate([np.asarray(l).ravel()
+                         for l in jax.tree_util.tree_leaves(gs)])
+    assert np.isfinite(la).all()
+    rel = float(np.linalg.norm(la - ls) / (np.linalg.norm(ls) + 1e-30))
+    assert rel < 1e-5, f"adjoint-vs-scan rel err {rel}"
+
+
 def run_all():
     """Run every on-device regression; returns ``(passed, failed)``.
 
@@ -254,6 +295,8 @@ def run_all():
           per_sample_on_device)
     check("per_sample_batched_engine_on_device",
           per_sample_batched_on_device)
+    check("per_sample_fused_lanes_on_device",
+          per_sample_fused_lanes_on_device)
     return passes, failures
 
 
